@@ -1,0 +1,82 @@
+"""Linear elasticity kernels (reference qfunctions/linElas.h).
+
+sigma = lambda tr(eps) I + 2 mu eps with eps = sym(grad u); the Jacobian is
+identical in structure (linElas.h:163-280). Energy and the 8-component
+diagnostic follow linElas.h:285-479, including the reference's exact energy
+expression (which uses `tr(eps)*mu` rather than `mu*(e00^2+e11^2+e22^2)`;
+reproduced verbatim for oracle parity, linElas.h:363-366).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import (
+    Physics,
+    ref_to_phys_grad,
+    sym,
+    unpack_qdata,
+    weight_test_grad,
+)
+
+name = "linElas"
+nonlinear = False
+
+
+def _sigma(e: jnp.ndarray, phys: Physics) -> jnp.ndarray:
+    # Verbatim Voigt form of linElas.h:133-144:
+    #   diag:     ss*((1-nu) e_ii + nu e_jj + nu e_kk)
+    #   off-diag: ss*(1-2nu)/2 * e_ij   (= mu * e_ij -- NOTE: the reference
+    #             applies mu, not 2mu, to the tensor shear strain; kept
+    #             verbatim because its MMS forcing is consistent with this)
+    # Closed form: sigma = lam tr(e) I + mu (e + diag(e)).
+    ss = phys.E / ((1 + phys.nu) * (1 - 2 * phys.nu))
+    lam_voigt = ss * phys.nu
+    mu = ss * (1 - 2 * phys.nu) / 2
+    tr = jnp.trace(e, axis1=-2, axis2=-1)[..., None, None]
+    eye = jnp.eye(3, dtype=e.dtype)
+    diag_e = e * eye
+    return lam_voigt * tr * eye + mu * (e + diag_e)
+
+
+def residual_qf(du_ref, qdata, phys: Physics):
+    wdetJ, dXdx = unpack_qdata(qdata)
+    gradu = ref_to_phys_grad(du_ref, dXdx)
+    sigma = _sigma(sym(gradu), phys)
+    return weight_test_grad(sigma, dXdx, wdetJ), None
+
+
+def jacobian_qf(ddu_ref, qdata, stash, phys: Physics):
+    # Linear problem: Jacobian action == residual operator (linElas.h:163).
+    wdetJ, dXdx = unpack_qdata(qdata)
+    graddu = ref_to_phys_grad(ddu_ref, dXdx)
+    dsigma = _sigma(sym(graddu), phys)
+    return weight_test_grad(dsigma, dXdx, wdetJ)
+
+
+def energy_qf(du_ref, qdata, phys: Physics):
+    wdetJ, dXdx = unpack_qdata(qdata)
+    e = sym(ref_to_phys_grad(du_ref, dXdx))
+    tr = jnp.trace(e, axis1=-2, axis2=-1)
+    shear = e[..., 0, 1] ** 2 + e[..., 0, 2] ** 2 + e[..., 1, 2] ** 2
+    # Verbatim reference expression (linElas.h:363-366)
+    return (phys.lam * tr * tr / 2 + tr * phys.mu + shear * 2 * phys.mu) * wdetJ
+
+
+def diagnostic_qf(u, du_ref, qdata, phys: Physics):
+    """8 components: ux,uy,uz, pressure, tr(e), e:e, 1+tr(e), energy density
+    (linElas.h:376-479)."""
+    _, dXdx = unpack_qdata(qdata)
+    e = sym(ref_to_phys_grad(du_ref, dXdx))
+    tr = jnp.trace(e, axis1=-2, axis2=-1)
+    ee = jnp.sum(e * jnp.swapaxes(e, -1, -2), axis=(-2, -1))
+    shear = e[..., 0, 1] ** 2 + e[..., 0, 2] ** 2 + e[..., 1, 2] ** 2
+    energy = phys.lam * tr * tr / 2 + tr * phys.mu + shear * 2 * phys.mu
+    return jnp.stack(
+        [
+            u[..., 0], u[..., 1], u[..., 2],
+            -phys.lam * tr,
+            tr, ee, 1 + tr, energy,
+        ],
+        axis=-1,
+    )

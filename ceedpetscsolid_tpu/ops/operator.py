@@ -1,0 +1,221 @@
+"""Matrix-free FEM operator pipeline (the CeedOperator analog).
+
+An operator application is the fused E-vector pipeline
+    gather (G) -> basis grad (B) -> pointwise physics (D) -> B^T -> scatter (G^T)
+exactly the A = G^T B^T D B G decomposition of the reference
+(SURVEY L2; reference src/setuplibceed.c:529-542), jit-compiled as one XLA
+computation so gather/contractions/pointwise physics all fuse.
+
+Geometric qdata is computed once from the trilinear coordinate basis
+(reference src/setuplibceed.c:388-389) and shared by residual, Jacobian,
+energy and diagnostic operators of every multigrid level (all levels use the
+fine level's quadrature, src/setuplibceed.c:757).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.fespace import FESpace
+from . import geometry
+from .basis import Basis3D
+from .restriction import Restriction
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@dataclass
+class LevelOps:
+    """Per-level operator data: restriction + solution basis.
+
+    For multigrid, every level applies physics at the FINE level's
+    quadrature points using the shared fine qdata (and, for nonlinear
+    models, the fine residual's stashed gradu), via a P_level -> Q_fine
+    basis (reference src/setuplibceed.c:756-757, 782, 829-839).
+    """
+
+    space: FESpace
+    restr: Restriction
+    basis: Basis3D          # P_level -> Q_fine (Gauss)
+
+
+class OperatorFactory:
+    """Builds jit-ready closures for one problem configuration."""
+
+    def __init__(
+        self,
+        spaces: list[FESpace],          # one per MG level, coarse -> fine
+        qextra: int = 0,
+        dtype=None,
+    ):
+        self.dtype = dtype or default_dtype()
+        fine = spaces[-1]
+        self.fine_degree = fine.degree
+        self.Q1d = fine.degree + 1 + qextra   # src/setuplibceed.c:252
+        self.levels = [
+            LevelOps(
+                space=s,
+                restr=Restriction(s.conn, s.num_nodes),
+                basis=Basis3D.create(s.degree + 1, self.Q1d, "gauss", self.dtype),
+            )
+            for s in spaces
+        ]
+        self.fine = self.levels[-1]
+        mesh = fine.mesh
+        # coordinate (vertex) restriction: trilinear geometry basis 2 -> Q
+        self.coord_restr = Restriction(mesh.connectivity.astype(np.int32),
+                                       mesh.num_vertices)
+        self.coord_basis = Basis3D.create(2, self.Q1d, "gauss", self.dtype)
+        self.vertex_coords = jnp.asarray(mesh.vertices, dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    def compute_qdata(self) -> jnp.ndarray:
+        """(nelem, Q3, 10) geometric factors; computed once at setup."""
+        xe = self.coord_restr.gather(self.vertex_coords)       # (nelem, 8, 3)
+        dxdX = self.coord_basis.apply_grad(xe)                 # (nelem,Q3,3,3)
+        return geometry.setup_geo(dxdX, self.coord_basis.qweights)
+
+    def quad_coords(self) -> jnp.ndarray:
+        """(nelem, Q3, 3) physical coordinates of quadrature points."""
+        xe = self.coord_restr.gather(self.vertex_coords)
+        return self.coord_basis.apply_interp(xe)
+
+    # ------------------------------------------------------------------
+    def make_residual(self, residual_qf: Callable, phys) -> Callable:
+        """u (nnodes,3), qdata -> (residual L-vector, stash or None)."""
+        restr, basis = self.fine.restr, self.fine.basis
+
+        def apply(u, qdata):
+            ue = restr.gather(u)
+            du = basis.apply_grad(ue)
+            dv, stash = residual_qf(du, qdata, phys)
+            ve = basis.apply_grad_T(dv)
+            return restr.scatter_add(ve), stash
+
+        return apply
+
+    def make_jacobian(self, jacobian_qf: Callable, phys, level: int = -1) -> Callable:
+        """du (nnodes_level,3), qdata, stash -> J@du L-vector at `level`."""
+        lvl = self.levels[level]
+        restr, basis = lvl.restr, lvl.basis
+
+        def apply(du, qdata, stash):
+            due = restr.gather(du)
+            ddu = basis.apply_grad(due)
+            ddv = jacobian_qf(ddu, qdata, stash, phys)
+            ve = basis.apply_grad_T(ddv)
+            return restr.scatter_add(ve)
+
+        return apply
+
+    def make_energy(self, energy_qf: Callable, phys) -> Callable:
+        """u -> total strain energy (scalar).
+
+        The reference applies a 1-component operator and sums the nodal
+        E-vector (src/matops.c:247-296); by partition of unity that equals
+        the direct quadrature sum done here.
+        """
+        restr, basis = self.fine.restr, self.fine.basis
+
+        def apply(u, qdata):
+            ue = restr.gather(u)
+            du = basis.apply_grad(ue)
+            return jnp.sum(energy_qf(du, qdata, phys))
+
+        return apply
+
+    def make_diagnostic(self, diagnostic_qf: Callable, phys) -> Callable:
+        """u -> (nnodes, 8) multiplicity-averaged nodal diagnostics.
+
+        Collocation P -> P Gauss-Lobatto basis (src/setuplibceed.c:347),
+        scatter-add then divide by multiplicity (src/misc.c:258-291).
+        """
+        restr = self.fine.restr
+        P = self.fine_degree + 1
+        coll = Basis3D.create(P, P, "gauss_lobatto", self.dtype)
+        # geometry at the collocation points
+        coll_coord = Basis3D.create(2, P, "gauss_lobatto", self.dtype)
+        xe = self.coord_restr.gather(self.vertex_coords)
+        dxdX = coll_coord.apply_grad(xe)
+        # qweights are irrelevant for diagnostics (wdetJ unused); pass ones
+        qd_coll = geometry.setup_geo(dxdX, jnp.ones(P ** 3, self.dtype))
+        mult = restr.scatter_add(
+            jnp.ones((restr.nelem, restr.P3, 1), self.dtype)
+        )
+
+        def apply(u):
+            ue = restr.gather(u)
+            uq = coll.apply_interp(ue)       # values at GLL lattice == ue
+            du = coll.apply_grad(ue)
+            diag = diagnostic_qf(uq, du, qd_coll, phys)   # (nelem, P3, 8)
+            acc = restr.scatter_add(diag)
+            return acc / mult
+
+        return apply
+
+    # ------------------------------------------------------------------
+    def make_prolongation(self, coarse_level: int, fine_level: int):
+        """Returns (prolong, restrict) closures between two levels.
+
+        Prolongation: gather coarse -> GLL interp P_c -> P_f -> scatter-add
+        to fine -> multiply by 1/multiplicity (reference src/matops.c:115-157,
+        basis at src/setuplibceed.c:798-803). Restriction is the transpose
+        (src/matops.c:160-203).
+        """
+        c, f = self.levels[coarse_level], self.levels[fine_level]
+        Pc, Pf = c.space.degree + 1, f.space.degree + 1
+        c2f = Basis3D.create(Pc, Pf, "gauss_lobatto", self.dtype)
+        mult = f.restr.scatter_add(
+            jnp.ones((f.restr.nelem, f.restr.P3, 1), self.dtype)
+        )
+        inv_mult = 1.0 / mult
+
+        def prolong(uc):
+            ue = c.restr.gather(uc)
+            fe = c2f.apply_interp(ue)
+            return f.restr.scatter_add(fe) * inv_mult
+
+        def restrict(uf):
+            fe = f.restr.gather(uf * inv_mult)
+            ce = c2f.apply_interp_T(fe)
+            return c.restr.scatter_add(ce)
+
+        return prolong, restrict
+
+    # ------------------------------------------------------------------
+    def make_diagonal(self, jacobian_qf: Callable, phys, level: int = -1) -> Callable:
+        """Assembled operator diagonal at `level` (E1d).
+
+        CeedOperatorLinearAssembleDiagonal analog (src/matops.c:206-244):
+        diag[e,p,c] = sum_q sum_{d1,d2} Bg[d1,q,p] K[e,q,c,d1,c,d2] Bg[d2,q,p]
+        where K is the pointwise Jacobian tensor. K's (c, :, c, :) slices are
+        extracted with 9 unit-gradient applications of the qfunction.
+        """
+        lvl = self.levels[level]
+        restr, basis = lvl.restr, lvl.basis
+        # BB[q, p, d1, d2] = Bg[d1, q, p] * Bg[d2, q, p]
+        BB = jnp.einsum("aqp,bqp->qpab", basis.grad, basis.grad)
+
+        def apply(qdata, stash):
+            nelem = restr.nelem
+            Q3 = basis.Q3
+            diag_e = jnp.zeros((nelem, basis.P3, 3), self.dtype)
+            for c2 in range(3):
+                for d2 in range(3):
+                    unit = jnp.zeros((3, 3), self.dtype).at[c2, d2].set(1.0)
+                    du = jnp.broadcast_to(unit, (nelem, Q3, 3, 3))
+                    ddv = jacobian_qf(du, qdata, stash, phys)  # (nelem,Q3,3,3)
+                    Krow = ddv[..., c2, :]                     # (nelem,Q3,3)=K[c2,d1,c2,d2]
+                    # BB[..., d2]: (q,p,d1); Krow: (e,q,d1) -> (e,p) for comp c2
+                    contrib = jnp.einsum("qpa,eqa->ep", BB[..., d2], Krow)
+                    diag_e = diag_e.at[:, :, c2].add(contrib)
+            return restr.scatter_add(diag_e)
+
+        return apply

@@ -1,0 +1,19 @@
+"""Test configuration: CPU backend, 8 virtual devices, float64.
+
+Tests run on an 8-device virtual CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-runs the
+multi-chip path); f64 matches the reference's PETSc tolerances.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
