@@ -1,0 +1,192 @@
+"""Command-line driver, flag-compatible with the reference `elasticity`
+binary (reference src/cloptions.c:26-285 and the summary output of
+elasticity.c:684-765).
+
+Usage example (the reference's smoke test, elasticity.c:36):
+    python -m ceedpetscsolid_tpu.cli -test -degree 3 -nu 0.3 -E 1 \
+        -dm_plex_box_faces 3,3,3
+
+PETSc-style single-dash options are parsed by a small options database;
+unknown options are reported (PETSc tolerates them silently; we warn).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+
+def _parse_args(argv):
+    """PETSc-options-style parser: -key [value] pairs; bools may omit value."""
+    opts = {}
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if not tok.startswith("-"):
+            raise SystemExit(f"unexpected argument {tok!r}")
+        key = tok.lstrip("-")
+        if i + 1 < len(argv) and not _is_flag(argv[i + 1]):
+            opts[key] = argv[i + 1]
+            i += 2
+        else:
+            opts[key] = "true"
+            i += 1
+    return opts
+
+
+def _is_flag(tok: str) -> bool:
+    if not tok.startswith("-"):
+        return False
+    # negative numbers are values, not flags
+    try:
+        float(tok.split(",")[0])
+        return False
+    except ValueError:
+        return True
+
+
+def _ints(s):
+    return tuple(int(x) for x in s.split(","))
+
+
+def _floats(s):
+    return tuple(float(x) for x in s.split(","))
+
+
+def _bool(s):
+    return s.lower() in ("true", "1", "yes", "on")
+
+
+def build_config(opts: dict):
+    from .problem import Config
+
+    known = set()
+
+    def get(key, conv=str, default=None):
+        known.add(key)
+        if key in opts:
+            return conv(opts[key])
+        return default
+
+    bc_clamp = get("bc_clamp", _ints, ())
+    translate, rotate = {}, {}
+    for face in bc_clamp:
+        known.add(f"bc_clamp_{face}_translate")
+        known.add(f"bc_clamp_{face}_rotate")
+        if f"bc_clamp_{face}_translate" in opts:
+            translate[face] = _floats(opts[f"bc_clamp_{face}_translate"])
+        if f"bc_clamp_{face}_rotate" in opts:
+            rotate[face] = _floats(opts[f"bc_clamp_{face}_rotate"])
+
+    cfg = Config(
+        problem=get("problem", str, "linElas"),
+        degree=get("degree", int, 3),
+        qextra=get("qextra", int, 0),
+        nu=get("nu", float, None),
+        E=get("E", float, None),
+        mesh_file=get("mesh", str, None),
+        box_faces=get("dm_plex_box_faces", _ints, (3, 3, 3)),
+        box_lower=get("dm_plex_box_lower", _floats, (0.0, 0.0, 0.0)),
+        box_upper=get("dm_plex_box_upper", _floats, (1.0, 1.0, 1.0)),
+        forcing=get("forcing", str, "none"),
+        forcing_vec=get("forcing_vec", _floats, (0.0, -1.0, 0.0)),
+        bc_clamp=bc_clamp,
+        bc_clamp_translate=translate,
+        bc_clamp_rotate=rotate,
+        num_increments=get("num_steps", int, None),
+        multigrid=get("multigrid", str, "logarithmic"),
+        nu_smoother=get("nu_smoother", float, 0.0),
+        test_mode=get("test", _bool, False),
+        units_meter=get("units_meter", float, 1.0),
+        units_second=get("units_second", float, 1.0),
+        units_kilogram=get("units_kilogram", float, 1.0),
+        ksp_rtol=get("outer_ksp_rtol", float, 1e-10),
+    )
+    view_soln = get("view_soln", _bool, False)
+    view_final = get("view_final_soln", _bool, False)
+    snes_monitor = get("snes_monitor", _bool, False)
+    known.update({"ceed", "ceed_fine", "memtype", "log_view", "snes_view"})
+    unknown = set(opts) - known
+    if unknown:
+        print(f"WARNING: ignoring unknown options: {sorted(unknown)}", file=sys.stderr)
+
+    # required flags (cloptions.c:271-276, 181-184)
+    if cfg.nu is None:
+        raise SystemExit("-nu option needed")
+    if cfg.E is None:
+        raise SystemExit("-E option needed")
+    if not cfg.test_mode and not bc_clamp and cfg.forcing != "mms":
+        raise SystemExit("-boundary options needed")
+    return cfg, dict(view_soln=view_soln, view_final_soln=view_final,
+                     snes_monitor=snes_monitor)
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    opts = _parse_args(argv)
+    if "help" in opts:
+        print(__doc__)
+        return 0
+
+    # f64 on CPU; f32 on TPU unless forced
+    import os
+
+    if os.environ.get("CPSTPU_X64", "auto") == "auto":
+        if jax.default_backend() == "cpu":
+            jax.config.update("jax_enable_x64", True)
+    elif os.environ.get("CPSTPU_X64") == "1":
+        jax.config.update("jax_enable_x64", True)
+
+    cfg, viewopts = build_config(opts)
+    from .problem import ElasticityProblem
+
+    prob = ElasticityProblem(cfg)
+
+    def monitor(inc, load, res):
+        if viewopts["snes_monitor"]:
+            print(f"{inc - 1} Load Increment")  # elasticity.c:639-642
+            print(f"  SNES iters {res.iters} rnorm {res.rnorm:.6e}")
+
+    info = prob.solve(monitor=monitor)
+
+    if viewopts["view_soln"] or viewopts["view_final_soln"]:
+        from .post.vtu import write_vtu
+
+        diag = prob.diagnostics(info.u)
+        write_vtu("solution-final.vtu", prob.fine_space, info.u, diag)
+
+    test_mode = cfg.test_mode
+    if not test_mode:
+        _print_summary(cfg, prob, info)
+
+    if cfg.forcing == "mms":
+        err = prob.mms_error(info.u)
+        # elasticity.c:806-811: silent in test mode unless error > 0.05
+        if not test_mode or err > 0.05:
+            print(f"  L2 Error: {err:.5e}")
+            if test_mode:
+                return 1
+    return 0
+
+
+def _print_summary(cfg, prob, info):
+    """Structured run summary (elasticity.c:306-375, 684-765)."""
+    fes = prob.fine_space
+    print("-- Elasticity / Hyperelasticity -- TPU-native --")
+    print(f"  Problem: {cfg.problem}")
+    print(f"  Mesh:    {fes.num_elements} elements, degree {cfg.degree}, "
+          f"{fes.num_nodes} nodes, {3 * fes.num_nodes} DoFs")
+    print(f"  Physics: nu = {cfg.nu}, E = {cfg.E}")
+    print(f"  Multigrid levels: {prob.level_degrees}")
+    print(f"  SNES iterations: {info.snes_iters}  (reason: {info.reason})")
+    print(f"  KSP iterations:  {info.ksp_iters}")
+    print(f"  Final rnorm:     {info.rnorm:.6e}")
+    print(f"  Solve time:      {info.solve_time:.3f} s")
+    print(f"  DoFs/sec in SNES: {info.mdofs_per_sec:.3f} M")
+    energy = prob.strain_energy(info.u)
+    print(f"  Strain energy:    {energy:.10e}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

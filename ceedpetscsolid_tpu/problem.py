@@ -1,0 +1,371 @@
+"""Problem orchestration: the framework's `main` (reference elasticity.c:45-924).
+
+Wires mesh -> FE spaces (one per multigrid level) -> operators -> BCs ->
+forcing -> solver stack, and exposes solve / postprocessing entry points.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh.box import box_mesh
+from .mesh.fespace import FESpace, build_fespace
+from .models import Physics, get_model, mms
+from .models.boundary import BoundaryConditions
+from .models.forcing import assemble_forcing
+from .ops.operator import OperatorFactory, default_dtype
+from .solve.cg import estimate_extreme_eigs, pcg
+from .solve.newton import NewtonOptions, NewtonResult, newton_solve
+from .solve.pmg import MGLevel, make_vcycle
+
+
+@dataclass
+class Config:
+    """CLI-equivalent options (reference src/cloptions.c:26-285)."""
+
+    problem: str = "linElas"
+    degree: int = 3
+    qextra: int = 0
+    nu: float = 0.3
+    E: float = 1.0
+    mesh_file: str | None = None
+    box_faces: Sequence[int] = (3, 3, 3)
+    box_lower: Sequence[float] = (0.0, 0.0, 0.0)
+    box_upper: Sequence[float] = (1.0, 1.0, 1.0)
+    forcing: str = "none"                       # none | constant | mms
+    forcing_vec: Sequence[float] = (0.0, -1.0, 0.0)
+    bc_clamp: Sequence[int] = ()
+    bc_clamp_translate: dict = field(default_factory=dict)   # face -> (tx,ty,tz)
+    bc_clamp_rotate: dict = field(default_factory=dict)      # face -> (kx,ky,kz,theta/pi)
+    num_increments: int | None = None           # default 1 (linear) else 10
+    multigrid: str = "logarithmic"              # logarithmic | uniform | none
+    nu_smoother: float = 0.0
+    test_mode: bool = False
+    # units (cloptions.c:237-282)
+    units_meter: float = 1.0
+    units_second: float = 1.0
+    units_kilogram: float = 1.0
+    # solver knobs
+    ksp_rtol: float = 1e-10
+    ksp_max_it: int = 10_000
+    smooth_its: int = 3                         # PCMGSetNumberSmooth(3)
+    newton: NewtonOptions = field(default_factory=NewtonOptions)
+
+    def __post_init__(self):
+        if self.test_mode:
+            self.forcing = "mms"                # cloptions.c:185-187
+        if self.num_increments is None:
+            self.num_increments = 1 if self.problem == "linElas" else 10
+        if self.problem in ("hyperFS", "hyperFSIncomp") and self.forcing == "constant":
+            raise ValueError(
+                "Cannot use constant forcing and finite strain formulation"
+            )  # cloptions.c:89-93
+
+    @property
+    def pascal(self) -> float:
+        return self.units_kilogram / (self.units_meter * self.units_second**2)
+
+    def level_degrees(self) -> list[int]:
+        """Multigrid level schedule (cloptions.c:196-225), coarse -> fine."""
+        p = self.degree
+        if self.multigrid == "logarithmic":
+            n = int(math.ceil(math.log2(p))) + 1 if p > 1 else 1
+            degs = [2**i for i in range(max(n - 1, 0))] + ([p] if n > 1 else [])
+            return degs if degs else [p]
+        if self.multigrid == "uniform":
+            return list(range(1, p + 1))
+        if self.multigrid == "none":
+            return [p]
+        raise ValueError(f"unknown multigrid type {self.multigrid!r}")
+
+
+class ElasticityProblem:
+    """Owns mesh, spaces, operators, BCs, forcing, and the solve loop."""
+
+    def __init__(self, config: Config, mesh=None):
+        self.config = config
+        self.dtype = default_dtype()
+        t0 = time.perf_counter()
+
+        # --- mesh -------------------------------------------------------
+        if mesh is None:
+            if config.mesh_file:
+                from .mesh.exodus import read_exodus
+
+                mesh = read_exodus(config.mesh_file)
+            else:
+                mesh = box_mesh(config.box_faces, config.box_lower, config.box_upper)
+        self.mesh = mesh
+
+        # --- FE spaces per level (coarse -> fine) ------------------------
+        self.level_degrees = config.level_degrees()
+        self.spaces: list[FESpace] = [
+            build_fespace(mesh, d) for d in self.level_degrees
+        ]
+        self.fine_space = self.spaces[-1]
+
+        # --- operators ---------------------------------------------------
+        self.factory = OperatorFactory(self.spaces, qextra=config.qextra,
+                                       dtype=self.dtype)
+        self.qdata = self.factory.compute_qdata()
+        self.model = get_model(config.problem)
+        self.phys = Physics(nu=config.nu, E=config.E * config.pascal)
+        self.phys_smoother = (
+            Physics(nu=config.nu_smoother, E=config.E * config.pascal)
+            if config.nu_smoother
+            else None
+        )
+
+        # --- boundary conditions ----------------------------------------
+        fes = self.fine_space
+        self.bcs = BoundaryConditions(num_nodes=fes.num_nodes)
+        if config.test_mode or config.forcing == "mms":
+            # MMS BCs on the whole boundary (setupdm.c:160-180)
+            self.bcs.add_mms(fes.all_boundary_nodes())
+        else:
+            for face in config.bc_clamp:
+                cmax = np.zeros(7)
+                cmax[:3] = config.bc_clamp_translate.get(face, (0, 0, 0))
+                rot = np.asarray(config.bc_clamp_rotate.get(face, (0, 0, 0, 0)),
+                                 dtype=np.float64)
+                norm = float(np.linalg.norm(rot[:3]))
+                if abs(norm) < 1e-16:
+                    norm = 1.0
+                cmax[3:6] = rot[:3] / norm        # cloptions.c:124-131
+                cmax[6] = rot[3]
+                self.bcs.add_clamp(fes.face_set_nodes(face), cmax)
+        mask_np = self.bcs.mask()
+        self.bc_mask = jnp.asarray(mask_np)
+        self.free_mask = jnp.asarray(~mask_np)
+        self._coords = fes.coords
+
+        # --- forcing -----------------------------------------------------
+        self.F = assemble_forcing(
+            self.factory, self.qdata, config.forcing,
+            phys=self.phys, forcing_vec=config.forcing_vec,
+        )
+        # forcing is zero at constrained DOFs (they are not solved for)
+        self.F = jnp.where(self.bc_mask, 0.0, self.F)
+
+        # --- jitted kernels ---------------------------------------------
+        self._raw_residual = self.factory.make_residual(
+            self.model.residual_qf, self.phys
+        )
+        self._raw_jacobian = self.factory.make_jacobian(
+            self.model.jacobian_qf, self.phys
+        )
+        self._energy = jax.jit(
+            self.factory.make_energy(self.model.energy_qf, self.phys)
+        )
+        self._diagnostic = None
+        self.setup_time = time.perf_counter() - t0
+        self._build_solver()
+
+    # ------------------------------------------------------------------
+    def bc_values(self, load_increment: float) -> jnp.ndarray:
+        v = self.bcs.values(self._coords, load_increment)
+        return jnp.asarray(v, self.dtype)
+
+    def insert_bc(self, u: jnp.ndarray, bc_vals: jnp.ndarray) -> jnp.ndarray:
+        """DMPlexInsertBoundaryValues analog (matops.c:70-73)."""
+        return jnp.where(self.bc_mask, bc_vals, u)
+
+    # ------------------------------------------------------------------
+    def _build_solver(self):
+        cfg = self.config
+        mask = self.bc_mask
+
+        def nonlinear_residual(u, bc_vals, F):
+            """G(u) = R(u with BCs inserted) - F, zeroed at constrained DOFs
+            (FormResidual_Ceed, matops.c:63-79)."""
+            u_in = jnp.where(mask, bc_vals, u)
+            r, stash = self._raw_residual(u_in, self.qdata)
+            return jnp.where(mask, 0.0, r - F), stash
+
+        def jacobian_action(v, stash):
+            """Zero-BC linearized action (ApplyJacobian_Ceed, matops.c:98-112)."""
+            v_in = jnp.where(mask, 0.0, v)
+            jv = self._raw_jacobian(v_in, self.qdata, stash)
+            return jnp.where(mask, 0.0, jv)
+
+        self._nonlinear_residual = jax.jit(nonlinear_residual)
+        self._jacobian_action = jax.jit(jacobian_action)
+
+        # Smoother physics for diagonal assembly (-nu_smoother swap,
+        # matops.c:215-232)
+        diag_phys = self.phys_smoother or self.phys
+
+        use_mg = cfg.multigrid != "none" and len(self.spaces) > 1
+        if not use_mg:
+            # Jacobi-preconditioned CG (elasticity.c:515-518)
+            diag_fn = self.factory.make_diagonal(self.model.jacobian_qf, diag_phys)
+
+            @jax.jit
+            def linear_solve_jacobi(G, stash):
+                d = jnp.where(mask, 1.0, diag_fn(self.qdata, stash))
+                diag_inv = 1.0 / d
+                A = lambda v: jacobian_action(v, stash)       # noqa: E731
+                M = lambda r: diag_inv * r                    # noqa: E731
+                res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol,
+                          maxiter=cfg.ksp_max_it)
+                return res.x, res.iters
+
+            self._linear_solve = linear_solve_jacobi
+            return
+
+        # ---- p-multigrid preconditioned CG (elasticity.c:524-590) -------
+        nlev = len(self.spaces)
+        level_masks = [self._level_mask(s) for s in self.spaces]
+        level_jac = [
+            self.factory.make_jacobian(self.model.jacobian_qf, self.phys, level=l)
+            for l in range(nlev)
+        ]
+        level_diag = [
+            self.factory.make_diagonal(self.model.jacobian_qf, diag_phys, level=l)
+            for l in range(nlev)
+        ]
+        transfers = [
+            self.factory.make_prolongation(l - 1, l) for l in range(1, nlev)
+        ]
+        mg_levels = []
+        for l in range(nlev):
+            lm = level_masks[l]
+
+            def lvl_apply(v, stash, l=l, lm=lm):
+                v = jnp.where(lm, 0.0, v)
+                jv = level_jac[l](v, self.qdata, stash)
+                return jnp.where(lm, 0.0, jv)
+
+            prolong, restrict = (None, None) if l == 0 else transfers[l - 1]
+            mg_levels.append(
+                MGLevel(apply=lvl_apply, mask=lm, prolong=prolong,
+                        restrict=restrict)
+            )
+        vcycle = make_vcycle(mg_levels, smooth_its=cfg.smooth_its)
+        self._mg_levels = mg_levels
+
+        @jax.jit
+        def linear_solve_mg(G, stash):
+            diag_invs = []
+            bounds = []
+            for l in range(nlev):
+                d = jnp.where(level_masks[l], 1.0,
+                              level_diag[l](self.qdata, stash))
+                dinv = 1.0 / d
+                diag_invs.append(dinv)
+                lo, hi = estimate_extreme_eigs(
+                    lambda v, l=l: mg_levels[l].apply(v, stash),
+                    dinv, d.shape, d.dtype,
+                )
+                bounds.append((lo, hi))
+            A = lambda v: mg_levels[-1].apply(v, stash)   # noqa: E731
+            M = lambda r: vcycle(r, stash, diag_invs, bounds)  # noqa: E731
+            res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol, maxiter=cfg.ksp_max_it)
+            return res.x, res.iters
+
+        self._linear_solve = linear_solve_mg
+
+    def _level_mask(self, space: FESpace) -> jnp.ndarray:
+        """Constrained-DOF mask for a level's space (same BC face sets)."""
+        cfg = self.config
+        bcs = BoundaryConditions(num_nodes=space.num_nodes)
+        if cfg.test_mode or cfg.forcing == "mms":
+            bcs.add_mms(space.all_boundary_nodes())
+        else:
+            for face in cfg.bc_clamp:
+                bcs.add_clamp(space.face_set_nodes(face), np.zeros(7))
+        return jnp.asarray(bcs.mask())
+
+    # ------------------------------------------------------------------
+    def solve(self, monitor=None) -> "SolveInfo":
+        """Load-increment continuation loop (elasticity.c:636-673)."""
+        cfg = self.config
+        u = jnp.zeros((self.fine_space.num_nodes, 3), self.dtype)
+        total_snes = total_ksp = 0
+        rnorm = 0.0
+        t0 = time.perf_counter()
+        last = None
+        for inc in range(1, cfg.num_increments + 1):
+            load = inc / cfg.num_increments
+            bc_vals = self.bc_values(load)
+            F = self.F * load
+
+            def residual(uu):
+                return self._nonlinear_residual(uu, bc_vals, F)
+
+            def linear_solve(uu, G, stash):
+                return self._linear_solve(G, stash)
+
+            res: NewtonResult = newton_solve(residual, linear_solve, u, cfg.newton)
+            u = res.u
+            total_snes += res.iters
+            total_ksp += res.linear_iters
+            rnorm = res.rnorm
+            last = res
+            if monitor is not None:
+                monitor(inc, load, res)
+            if not res.converged and res.reason == "diverged":
+                break  # elasticity.c:668-672
+        solve_time = time.perf_counter() - t0
+        u_out = self.insert_bc(u, self.bc_values(1.0 * (inc / cfg.num_increments)))
+        return SolveInfo(
+            u=u_out,
+            snes_iters=total_snes,
+            ksp_iters=total_ksp,
+            rnorm=rnorm,
+            converged=bool(last.converged) if last else True,
+            reason=last.reason if last else "",
+            solve_time=solve_time,
+            dofs=3 * self.fine_space.num_nodes,
+        )
+
+    # ------------------------------------------------------------------
+    # Postprocessing (L6)
+    # ------------------------------------------------------------------
+    def mms_error(self, u: jnp.ndarray) -> float:
+        """Relative L2 error vs MMS true solution over free DOFs
+        (elasticity.c:770-816; true solution at nodes, setuplibceed.c:592-643)."""
+        u_star = mms.true_solution(jnp.asarray(self._coords, self.dtype))
+        free = self.free_mask
+        diff = jnp.where(free, u - u_star, 0.0)
+        denom = jnp.where(free, u_star, 0.0)
+        return float(jnp.linalg.norm(diff) / jnp.linalg.norm(denom))
+
+    def strain_energy(self, u: jnp.ndarray) -> float:
+        """Total strain energy (matops.c:247-296)."""
+        return float(self._energy(u, self.qdata))
+
+    def diagnostics(self, u: jnp.ndarray) -> jnp.ndarray:
+        """(nnodes, 8) nodal diagnostic fields (misc.c:217-311)."""
+        if self._diagnostic is None:
+            self._diagnostic = jax.jit(
+                self.factory.make_diagnostic(self.model.diagnostic_qf, self.phys)
+            )
+        return self._diagnostic(u)
+
+
+@dataclass
+class SolveInfo:
+    u: jnp.ndarray
+    snes_iters: int
+    ksp_iters: int
+    rnorm: float
+    converged: bool
+    reason: str
+    solve_time: float
+    dofs: int
+
+    @property
+    def mdofs_per_sec(self) -> float:
+        """1e-6 * dofs * ksp_iters / time (elasticity.c:763-764)."""
+        if self.solve_time == 0:
+            return 0.0
+        return 1e-6 * self.dofs * self.ksp_iters / self.solve_time

@@ -1,0 +1,159 @@
+"""Matrix-free preconditioned conjugate gradients.
+
+The KSPCG analog with KSP_NORM_NATURAL and rtol 1e-10 defaults
+(reference elasticity.c:504-507): convergence is monitored in the natural
+norm sqrt(r . M^{-1} r). Runs entirely inside jit as a lax.while_loop; the
+reduction dot-products are the only collectives when sharded (psum via
+jnp.vdot under shard_map).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray          # int32
+    rnorm: jnp.ndarray          # final natural norm
+    converged: jnp.ndarray      # bool
+
+
+def _dot(a, b):
+    return jnp.vdot(a.reshape(-1), b.reshape(-1))
+
+
+def pcg(
+    A: Callable,
+    b: jnp.ndarray,
+    M_inv: Callable | None = None,
+    x0: jnp.ndarray | None = None,
+    rtol: float = 1e-10,
+    atol: float = 1e-50,
+    maxiter: int = 10_000,
+) -> CGResult:
+    """Solve A x = b with preconditioner M_inv (defaults to identity)."""
+    if M_inv is None:
+        M_inv = lambda r: r  # noqa: E731
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    r = b - A(x)
+    z = M_inv(r)
+    rz = _dot(r, z)
+    norm0 = jnp.sqrt(jnp.abs(rz))
+    tol = jnp.maximum(rtol * norm0, atol)
+
+    def cond(state):
+        x, r, z, p, rz, it = state
+        return (jnp.sqrt(jnp.abs(rz)) > tol) & (it < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = A(p)
+        alpha = rz / _dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M_inv(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    state = (x, r, z, r * 0 + z, rz, jnp.int32(0))
+    x, r, z, p, rz, it = jax.lax.while_loop(cond, body, state)
+    rnorm = jnp.sqrt(jnp.abs(rz))
+    return CGResult(x=x, iters=it, rnorm=rnorm, converged=rnorm <= tol)
+
+
+def chebyshev(
+    A: Callable,
+    b: jnp.ndarray,
+    diag_inv: jnp.ndarray,
+    lam_min: jnp.ndarray,
+    lam_max: jnp.ndarray,
+    iters: int,
+    x0: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Fixed-iteration Chebyshev smoothing for D^{-1}A on [lam_min, lam_max].
+
+    The KSPCHEBYSHEV smoother analog (reference elasticity.c:538-552) with
+    Jacobi (diagonal) preconditioning. A fixed polynomial in A, so it is a
+    LINEAR operation in b -- safe inside an outer CG preconditioner.
+    Standard three-term recurrence (Saad, Iterative Methods, alg. 12.1).
+    """
+    x = jnp.zeros_like(b) if x0 is None else x0
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+
+    r = b - A(x)
+    d = (diag_inv * r) / theta
+    x = x + d
+    for _ in range(iters - 1):
+        r = b - A(x)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * (diag_inv * r)
+        rho = rho_new
+        x = x + d
+    return x
+
+
+def estimate_extreme_eigs(
+    A: Callable,
+    diag_inv: jnp.ndarray,
+    shape,
+    dtype,
+    iters: int = 10,
+    key=None,
+    transform=(0.0, 0.1, 0.0, 1.1),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Estimate eigenvalue bounds of D^{-1}A by a few CG/Lanczos steps with a
+    'noisy' right-hand side, then apply the PETSc-style transform
+    (a*lmin + b*lmax, c*lmin + d*lmax) with the reference's (0, 0.1, 0, 1.1)
+    (elasticity.c:540: KSPChebyshevEstEigSet 0,0.1,0,1.1).
+
+    Returns (lam_min_bound, lam_max_bound) for the Chebyshev interval.
+    """
+    a, bb, c, d = transform
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    rhs = jax.random.uniform(key, shape, dtype=dtype) - 0.5
+
+    # Preconditioned Lanczos via CG coefficients (standard KSPCG eigenvalue
+    # estimation): track alpha/beta, build tridiagonal, take extreme eigs.
+    x = jnp.zeros(shape, dtype)
+    r = rhs
+    z = diag_inv * r
+    p = z
+    rz = _dot(r, z)
+    alphas = []
+    betas = []
+    for _ in range(iters):
+        Ap = A(p)
+        pAp = _dot(p, Ap)
+        alpha = rz / pAp
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = diag_inv * r
+        rz_new = _dot(r, z)
+        beta = rz_new / rz
+        alphas.append(alpha)
+        betas.append(beta)
+        p = z + beta * p
+        rz = rz_new
+
+    alphas = jnp.stack(alphas)
+    betas = jnp.stack(betas)
+    # Lanczos tridiagonal from CG coefficients
+    diag = 1.0 / alphas
+    diag = diag.at[1:].add(betas[:-1] / alphas[:-1])
+    off = jnp.sqrt(jnp.abs(betas[:-1])) / alphas[:-1]
+    T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+    eigs = jnp.linalg.eigvalsh(T)
+    lmin, lmax = eigs[0], eigs[-1]
+    return a * lmin + bb * lmax, c * lmin + d * lmax

