@@ -1,0 +1,75 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.md north star): hyperFS residual-evaluation
+throughput per chip at degree 4 — millions of DoFs processed per second,
+where one "DoF processed" is one degree of freedom touched by one full
+matrix-free residual evaluation (gather -> basis -> physics -> basis^T ->
+scatter). The reference defines DoFs/sec = dofs * CG_iters / time
+(elasticity.c:763-764); each CG iteration is one operator evaluation, so
+this is the same quantity measured at the operator level.
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio against the recorded best of previous rounds (1.0 in round 1).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+
+    backend = jax.default_backend()
+    # f64 on CPU for correctness parity; f32 on TPU (MXU path)
+    if backend == "cpu":
+        jax.config.update("jax_enable_x64", True)
+        faces, reps = (8, 8, 8), 10
+    else:
+        faces, reps = (12, 12, 12), 50
+
+    cfg = Config(
+        problem="hyperFS", degree=4, nu=0.3, E=1.0, test_mode=True,
+        box_faces=faces, multigrid="none", num_increments=1,
+    )
+    prob = ElasticityProblem(cfg)
+    ndofs = 3 * prob.fine_space.num_nodes
+
+    bc = prob.bc_values(1.0)
+    F = prob.F
+
+    resid = jax.jit(lambda u: prob._nonlinear_residual(u, bc, F)[0])
+    u = jnp.zeros((prob.fine_space.num_nodes, 3), prob.dtype)
+
+    # warmup / compile
+    r = resid(u)
+    jax.block_until_ready(r)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = resid(r * 0.0)  # keep a data dependency between iterations
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+
+    mdofs_per_sec = 1e-6 * ndofs * reps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "hyperfs_residual_mdofs_per_sec_per_chip",
+                "value": round(mdofs_per_sec, 3),
+                "unit": "MDoF/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

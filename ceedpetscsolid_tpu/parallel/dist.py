@@ -1,0 +1,135 @@
+"""Distributed operator execution under shard_map (the PetscSF runtime).
+
+Implements the two primitives every operator application needs
+(reference src/matops.c:26-60):
+  * halo gather   (DMGlobalToLocal, INSERT):  g2l
+  * owner-sum     (DMLocalToGlobal, ADD):     l2g_add
+as static all_to_all exchanges over the 1-D device mesh axis "mesh",
+plus the distributed dot products (psum) that CG needs.
+
+All functions here are designed to be called INSIDE a shard_map body; the
+per-shard static index arrays travel as a `ShardArrays` pytree sharded on
+axis 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .partition import SpacePartition
+
+AXIS = "mesh"
+
+
+@dataclass
+class ShardArrays:
+    """Device-array views of a SpacePartition, leading axis = ndev."""
+
+    conn_local: Any          # (ndev, nelem_max, P3) int32
+    pair_owned_slot: Any     # (ndev[owner], ndev, m) int32
+    pair_valid_owner: Any    # (ndev[owner], ndev, m) bool
+    pair_ghost_slot: Any     # (ndev[holder], ndev, m) int32
+    pair_valid_holder: Any   # (ndev[holder], ndev, m) bool
+    owned_valid: Any         # (ndev, n_owned_max) bool
+    n_owned_max: int         # static
+    n_local: int             # static
+
+    @staticmethod
+    def from_partition(part: SpacePartition) -> "ShardArrays":
+        return ShardArrays(
+            conn_local=jnp.asarray(part.conn_local),
+            pair_owned_slot=jnp.asarray(part.pair_owned_slot),
+            pair_valid_owner=jnp.asarray(part.pair_valid_owner),
+            pair_ghost_slot=jnp.asarray(part.pair_ghost_slot),
+            pair_valid_holder=jnp.asarray(part.pair_valid_holder),
+            owned_valid=jnp.asarray(part.owned_valid),
+            n_owned_max=part.n_owned_max,
+            n_local=part.n_local,
+        )
+
+
+jax.tree_util.register_pytree_node(
+    ShardArrays,
+    lambda s: (
+        (s.conn_local, s.pair_owned_slot, s.pair_valid_owner,
+         s.pair_ghost_slot, s.pair_valid_holder, s.owned_valid),
+        (s.n_owned_max, s.n_local),
+    ),
+    lambda aux, ch: ShardArrays(*ch, n_owned_max=aux[0], n_local=aux[1]),
+)
+
+
+# ---------------------------------------------------------------------------
+# Inside-shard_map primitives. Per-shard blocks carry a leading axis of 1.
+# ---------------------------------------------------------------------------
+def _blk(x):
+    """Strip the per-shard leading axis."""
+    return x[0]
+
+
+def g2l(owned, sa: ShardArrays):
+    """(1, n_owned_max, c) -> (n_local, c): fill owned + exchange ghosts."""
+    ow = _blk(owned)
+    c = ow.shape[-1]
+    send = jnp.take(ow, _blk(sa.pair_owned_slot), axis=0)       # (ndev, m, c)
+    send = send * _blk(sa.pair_valid_owner)[..., None]
+    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0,
+                              tiled=True)
+    local = jnp.zeros((sa.n_local, c), ow.dtype)
+    local = local.at[: sa.n_owned_max].set(ow)
+    gslots = _blk(sa.pair_ghost_slot).reshape(-1)               # pads -> trash
+    local = local.at[gslots].set(recv.reshape(-1, c))
+    return local
+
+
+def l2g_add(local, sa: ShardArrays):
+    """(n_local, c) -> (1, n_owned_max, c): keep owned part + owner-sum ghosts."""
+    c = local.shape[-1]
+    send = jnp.take(local, _blk(sa.pair_ghost_slot), axis=0)    # (ndev, m, c)
+    send = send * _blk(sa.pair_valid_holder)[..., None]
+    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0,
+                              tiled=True)
+    oslots = _blk(sa.pair_owned_slot).reshape(-1)
+    add = jax.ops.segment_sum(recv.reshape(-1, c), oslots,
+                              num_segments=sa.n_owned_max)
+    out = local[: sa.n_owned_max] + add
+    out = out * _blk(sa.owned_valid)[..., None]
+    return out[None]
+
+
+def gather_elements(local, sa: ShardArrays):
+    """(n_local, c) -> (nelem_max, P3, c) E-vector."""
+    return jnp.take(local, _blk(sa.conn_local), axis=0)
+
+
+def scatter_elements(ve, sa: ShardArrays):
+    """(nelem_max, P3, c) -> (n_local, c) scatter-add (trash collects pads)."""
+    c = ve.shape[-1]
+    return jax.ops.segment_sum(
+        ve.reshape(-1, c), _blk(sa.conn_local).reshape(-1),
+        num_segments=sa.n_local,
+    )
+
+
+def apply_local_op(owned, sa: ShardArrays, element_fn):
+    """Full ApplyLocalCeedOp analog (matops.c:26-60):
+    G2L -> element kernel -> scatter-add -> L2G(ADD)."""
+    local = g2l(owned, sa)
+    ue = gather_elements(local, sa)
+    ve = element_fn(ue)
+    acc = scatter_elements(ve, sa)
+    return l2g_add(acc, sa)
+
+
+def ddot(a, b):
+    """Distributed dot over owned blocks (padding is zero by invariant)."""
+    return jax.lax.psum(jnp.vdot(a.reshape(-1), b.reshape(-1)), AXIS)
+
+
+def dnorm(a):
+    return jnp.sqrt(ddot(a, a))

@@ -16,4 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin registers itself from sitecustomize regardless of
+# JAX_PLATFORMS in the environment; the config update below reliably forces
+# the CPU backend (and with it the forced host device count).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
