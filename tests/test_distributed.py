@@ -1,0 +1,50 @@
+"""Distributed-execution oracles (SURVEY stage 7): partition invariants and
+1-device vs 8-device solution equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ceedpetscsolid_tpu.mesh.box import box_mesh
+from ceedpetscsolid_tpu.mesh.fespace import build_fespace
+from ceedpetscsolid_tpu.parallel.partition import (
+    gather_owned_to_global,
+    partition_space,
+    scatter_global_to_owned,
+)
+
+
+def test_partition_roundtrip():
+    fes = build_fespace(box_mesh((3, 3, 3)), 2)
+    part = partition_space(fes.conn, fes.num_nodes, 4)
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=(fes.num_nodes, 3))
+    assert np.allclose(
+        gather_owned_to_global(part, scatter_global_to_owned(part, u)), u
+    )
+
+
+def test_partition_covers_all_elements():
+    fes = build_fespace(box_mesh((3, 2, 2)), 3)
+    part = partition_space(fes.conn, fes.num_nodes, 8)
+    assert part.elem_valid.sum() == fes.num_elements
+    # every global node owned exactly once
+    ids = part.owned_global_ids[part.owned_valid]
+    assert np.unique(ids).size == ids.size == fes.num_nodes
+
+
+@pytest.mark.parametrize("ndev", [1, 8])
+def test_distributed_matches_serial(ndev):
+    from ceedpetscsolid_tpu.parallel.driver import DistributedProblem
+    from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+
+    if len(jax.devices()) < ndev:
+        pytest.skip("needs 8 virtual devices")
+    cfg = Config(problem="linElas", degree=2, nu=0.3, E=1.0, test_mode=True,
+                 box_faces=(3, 3, 3), multigrid="none")
+    prob = ElasticityProblem(cfg)
+    info = prob.solve()
+    dp = DistributedProblem(prob, ndev=ndev)
+    u, dinfo = dp.solve()
+    assert np.abs(u - np.asarray(info.u)).max() < 1e-12
