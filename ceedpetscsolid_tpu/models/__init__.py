@@ -4,13 +4,14 @@ Names match the reference's -problem CLI enum (elasticity.h:49-53):
 linElas, hyperSS, hyperFS, hyperFSIncomp.
 """
 
-from . import hyper_fs, hyper_ss, lin_elas
+from . import hyper_fs, hyper_fs_incomp, hyper_ss, lin_elas
 from .base import Physics
 
 REGISTRY = {
     "linElas": lin_elas,
     "hyperSS": hyper_ss,
     "hyperFS": hyper_fs,
+    "hyperFSIncomp": hyper_fs_incomp,
 }
 
 

@@ -54,11 +54,15 @@ class OperatorFactory:
         spaces: list[FESpace],          # one per MG level, coarse -> fine
         qextra: int = 0,
         dtype=None,
+        q1d: int | None = None,
     ):
+        """q1d overrides the quadrature size — used by the reduced-integration
+        pressure operator of hyperFSIncomp (Q = 1 + qextra,
+        src/setuplibceed.c:406)."""
         self.dtype = dtype or default_dtype()
         fine = spaces[-1]
         self.fine_degree = fine.degree
-        self.Q1d = fine.degree + 1 + qextra   # src/setuplibceed.c:252
+        self.Q1d = q1d if q1d is not None else fine.degree + 1 + qextra  # setuplibceed.c:252
         self.levels = [
             LevelOps(
                 space=s,

@@ -156,12 +156,43 @@ class ElasticityProblem:
         self.F = jnp.where(self.bc_mask, 0.0, self.F)
 
         # --- jitted kernels ---------------------------------------------
-        self._raw_residual = self.factory.make_residual(
-            self.model.residual_qf, self.phys
-        )
-        self._raw_jacobian = self.factory.make_jacobian(
-            self.model.jacobian_qf, self.phys
-        )
+        self.composite = bool(getattr(self.model, "composite", False))
+        if self.composite:
+            # Reduced-integration pressure operator (hyperFSIncomp):
+            # own P->1 basis and Q=1 qdata (src/setuplibceed.c:404-506)
+            self.pfactory = OperatorFactory(
+                self.spaces, qextra=config.qextra, dtype=self.dtype,
+                q1d=1 + config.qextra,
+            )
+            self.qdata_p = self.pfactory.compute_qdata()
+            res_mu = self.factory.make_residual(self.model.residual_qf, self.phys)
+            res_p = self.pfactory.make_residual(
+                self.model.pressure_residual_qf, self.phys
+            )
+            jac_mu = self.factory.make_jacobian(self.model.jacobian_qf, self.phys)
+            jac_p = self.pfactory.make_jacobian(
+                self.model.pressure_jacobian_qf, self.phys
+            )
+
+            def _raw_residual(u, qdata):
+                r1, s1 = res_mu(u, qdata)
+                r2, s2 = res_p(u, self.qdata_p)
+                return r1 + r2, (s1, s2)
+
+            def _raw_jacobian(v, qdata, stash):
+                return jac_mu(v, qdata, stash[0]) + jac_p(
+                    v, self.qdata_p, stash[1]
+                )
+
+            self._raw_residual = _raw_residual
+            self._raw_jacobian = _raw_jacobian
+        else:
+            self._raw_residual = self.factory.make_residual(
+                self.model.residual_qf, self.phys
+            )
+            self._raw_jacobian = self.factory.make_jacobian(
+                self.model.jacobian_qf, self.phys
+            )
         self._energy = jax.jit(
             self.factory.make_energy(self.model.energy_qf, self.phys)
         )
@@ -203,14 +234,41 @@ class ElasticityProblem:
         # matops.c:215-232)
         diag_phys = self.phys_smoother or self.phys
 
+        def make_level_diag(level):
+            """Composite-aware assembled diagonal at a level (E1d)."""
+            d_mu = self.factory.make_diagonal(
+                self.model.jacobian_qf, diag_phys, level=level
+            )
+            if not self.composite:
+                return lambda stash: d_mu(self.qdata, stash)
+            d_p = self.pfactory.make_diagonal(
+                self.model.pressure_jacobian_qf, diag_phys, level=level
+            )
+            return lambda stash: (
+                d_mu(self.qdata, stash[0]) + d_p(self.qdata_p, stash[1])
+            )
+
+        def make_level_jacobian(level):
+            j_mu = self.factory.make_jacobian(
+                self.model.jacobian_qf, self.phys, level=level
+            )
+            if not self.composite:
+                return lambda v, stash: j_mu(v, self.qdata, stash)
+            j_p = self.pfactory.make_jacobian(
+                self.model.pressure_jacobian_qf, self.phys, level=level
+            )
+            return lambda v, stash: (
+                j_mu(v, self.qdata, stash[0]) + j_p(v, self.qdata_p, stash[1])
+            )
+
         use_mg = cfg.multigrid != "none" and len(self.spaces) > 1
         if not use_mg:
             # Jacobi-preconditioned CG (elasticity.c:515-518)
-            diag_fn = self.factory.make_diagonal(self.model.jacobian_qf, diag_phys)
+            diag_fn = make_level_diag(-1)
 
             @jax.jit
             def linear_solve_jacobi(G, stash):
-                d = jnp.where(mask, 1.0, diag_fn(self.qdata, stash))
+                d = jnp.where(mask, 1.0, diag_fn(stash))
                 diag_inv = 1.0 / d
                 A = lambda v: jacobian_action(v, stash)       # noqa: E731
                 M = lambda r: diag_inv * r                    # noqa: E731
@@ -224,14 +282,8 @@ class ElasticityProblem:
         # ---- p-multigrid preconditioned CG (elasticity.c:524-590) -------
         nlev = len(self.spaces)
         level_masks = [self._level_mask(s) for s in self.spaces]
-        level_jac = [
-            self.factory.make_jacobian(self.model.jacobian_qf, self.phys, level=l)
-            for l in range(nlev)
-        ]
-        level_diag = [
-            self.factory.make_diagonal(self.model.jacobian_qf, diag_phys, level=l)
-            for l in range(nlev)
-        ]
+        level_jac = [make_level_jacobian(l) for l in range(nlev)]
+        level_diag = [make_level_diag(l) for l in range(nlev)]
         transfers = [
             self.factory.make_prolongation(l - 1, l) for l in range(1, nlev)
         ]
@@ -241,7 +293,7 @@ class ElasticityProblem:
 
             def lvl_apply(v, stash, l=l, lm=lm):
                 v = jnp.where(lm, 0.0, v)
-                jv = level_jac[l](v, self.qdata, stash)
+                jv = level_jac[l](v, stash)
                 return jnp.where(lm, 0.0, jv)
 
             prolong, restrict = (None, None) if l == 0 else transfers[l - 1]
@@ -258,7 +310,7 @@ class ElasticityProblem:
             bounds = []
             for l in range(nlev):
                 d = jnp.where(level_masks[l], 1.0,
-                              level_diag[l](self.qdata, stash))
+                              level_diag[l](stash))
                 dinv = 1.0 / d
                 diag_invs.append(dinv)
                 lo, hi = estimate_extreme_eigs(
