@@ -46,10 +46,13 @@ def main():
     F = prob.F
 
     resid = jax.jit(lambda u: prob._nonlinear_residual(u, bc, F)[0])
-    u = jnp.zeros((prob.fine_space.num_nodes, 3), prob.dtype)
+    u = jnp.zeros((3, prob.fine_space.num_nodes), prob.dtype)
 
-    # warmup / compile
+    # warmup / compile (the first ~10 dispatches through the TPU transport
+    # run an order of magnitude slower; exclude them from the measurement)
     r = resid(u)
+    for _ in range(10):
+        r = resid(r * 0.0)
     jax.block_until_ready(r)
 
     t0 = time.perf_counter()

@@ -88,7 +88,23 @@ class FESpace:
     num_nodes: int
     conn: np.ndarray          # (nelem, P^3) int32, lattice order, x fastest
     coords: np.ndarray        # (num_nodes, 3) nodal coordinates (GLL lattice)
+    # entity-class node-id boundaries: [0, off_edge) vertices,
+    # [off_edge, off_face) edge nodes, [off_face, off_cell) face nodes,
+    # [off_cell, num_nodes) cell interiors -- drives the multiplicity-
+    # stratified scatter (ops/restriction.py)
+    off_edge: int = 0
+    off_face: int = 0
+    off_cell: int = 0
     _bnodes_cache: dict = field(default_factory=dict, repr=False)
+
+    def entity_node_ranges(self) -> list:
+        """Contiguous node-id ranges of ~uniform multiplicity."""
+        return [
+            (0, self.off_edge),
+            (self.off_edge, self.off_face),
+            (self.off_face, self.off_cell),
+            (self.off_cell, self.num_nodes),
+        ]
 
     @property
     def P(self) -> int:
@@ -229,6 +245,7 @@ def build_fespace(mesh: HexMesh, degree: int) -> FESpace:
     return FESpace(
         mesh=mesh, degree=p, num_nodes=num_nodes,
         conn=conn.astype(np.int32), coords=coords,
+        off_edge=off_e, off_face=off_f, off_cell=off_c,
     )
 
 

@@ -19,13 +19,13 @@ def assemble_forcing(factory, qdata, kind: str, phys=None, forcing_vec=None):
     """
     restr, basis = factory.fine.restr, factory.fine.basis
     if kind == "none":
-        return jnp.zeros((restr.num_nodes, 3), factory.dtype)
-    wdetJ = qdata[..., 0]
+        return jnp.zeros((3, restr.num_nodes), factory.dtype)
+    wdetJ = qdata[0]
     if kind == "constant":
         vec = jnp.asarray(forcing_vec, factory.dtype)
-        fq = vec[None, None, :] * wdetJ[..., None]   # constantForce.h:53-66
+        fq = vec[:, None, None] * wdetJ[None]        # constantForce.h:53-66
     elif kind == "mms":
-        xq = factory.quad_coords()
+        xq = factory.quad_coords()                   # (3, nelem, Q3)
         fq = mms_mod.mms_force(xq, wdetJ, phys)
     else:
         raise ValueError(f"unknown forcing {kind!r}")

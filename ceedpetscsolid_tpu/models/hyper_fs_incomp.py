@@ -24,11 +24,15 @@ import jax.numpy as jnp
 from .base import (
     Physics,
     log1p_series_shifted,
+    mat_ddot,
+    mat_eye_plus,
+    mat_mul,
+    mat_T1_mul,
     ref_to_phys_grad,
     unpack_qdata,
     weight_test_grad,
 )
-from .hyper_fs import _det_cm1, _sym_inv
+from .hyper_fs import _det_cm1, _green_lagrange_2E, _sym_inv
 from .hyper_fs import diagnostic_qf as _fs_diagnostic_qf
 from .hyper_fs import energy_qf as _fs_energy_qf
 
@@ -38,12 +42,11 @@ composite = True  # has an additional reduced-integration pressure operator
 
 
 def _common(gradu):
-    """E2 = 2E, detC-1, Cinv (commonFS_incomp, hyperFSIncomp.h:69-137)."""
-    E2 = gradu + jnp.swapaxes(gradu, -1, -2) + jnp.einsum(
-        "...nj,...nk->...jk", gradu, gradu
-    )
+    """E2 = 2E, detC-1, Cinv (commonFS_incomp, hyperFSIncomp.h:69-137).
+    Component-major planes (3, 3, *batch)."""
+    E2 = _green_lagrange_2E(gradu)
     detC_m1 = _det_cm1(E2)
-    C = jnp.eye(3, dtype=gradu.dtype) + E2
+    C = mat_eye_plus(E2)
     Cinv = _sym_inv(C, detC_m1 + 1.0)
     return E2, detC_m1, Cinv
 
@@ -55,9 +58,9 @@ def residual_qf(du_ref, qdata, phys: Physics):
     wdetJ, dXdx = unpack_qdata(qdata)
     gradu = ref_to_phys_grad(du_ref, dXdx)
     E2, _, Cinv = _common(gradu)
-    S = phys.mu * jnp.einsum("...jn,...nk->...jk", Cinv, E2)
-    F = jnp.eye(3, dtype=gradu.dtype) + gradu
-    P = jnp.einsum("...jm,...mk->...jk", F, S)
+    S = phys.mu * mat_mul(Cinv, E2)
+    F = mat_eye_plus(gradu)
+    P = mat_mul(F, S)
     return weight_test_grad(P, dXdx, wdetJ), gradu
 
 
@@ -65,16 +68,12 @@ def jacobian_qf(ddu_ref, qdata, gradu, phys: Physics):
     wdetJ, dXdx = unpack_qdata(qdata)
     graddu = ref_to_phys_grad(ddu_ref, dXdx)
     E2, _, Cinv = _common(gradu)
-    S = phys.mu * jnp.einsum("...jn,...nk->...jk", Cinv, E2)
-    F = jnp.eye(3, dtype=gradu.dtype) + gradu
-    dE = 0.5 * (
-        jnp.einsum("...nj,...nk->...jk", graddu, F)
-        + jnp.einsum("...nj,...nk->...jk", F, graddu)
-    )
-    dS = 2.0 * phys.mu * jnp.einsum("...jm,...mn,...nk->...jk", Cinv, dE, Cinv)
-    dP = jnp.einsum("...jm,...mk->...jk", graddu, S) + jnp.einsum(
-        "...jm,...mk->...jk", F, dS
-    )
+    S = phys.mu * mat_mul(Cinv, E2)
+    F = mat_eye_plus(gradu)
+    gTF = mat_T1_mul(graddu, F)
+    dE = 0.5 * (gTF + jnp.swapaxes(gTF, 0, 1))
+    dS = 2.0 * phys.mu * mat_mul(Cinv, mat_mul(dE, Cinv))
+    dP = mat_mul(graddu, S) + mat_mul(F, dS)
     return weight_test_grad(dP, dXdx, wdetJ)
 
 
@@ -86,9 +85,9 @@ def pressure_residual_qf(du_ref, qdata, phys: Physics):
     gradu = ref_to_phys_grad(du_ref, dXdx)
     _, detC_m1, Cinv = _common(gradu)
     llnj = phys.lam * log1p_series_shifted(detC_m1) / 2.0
-    S = llnj[..., None, None] * Cinv
-    F = jnp.eye(3, dtype=gradu.dtype) + gradu
-    P = jnp.einsum("...jm,...mk->...jk", F, S)
+    S = llnj * Cinv
+    F = mat_eye_plus(gradu)
+    P = mat_mul(F, S)
     return weight_test_grad(P, dXdx, wdetJ), gradu
 
 
@@ -97,21 +96,14 @@ def pressure_jacobian_qf(ddu_ref, qdata, gradu, phys: Physics):
     graddu = ref_to_phys_grad(ddu_ref, dXdx)
     _, detC_m1, Cinv = _common(gradu)
     llnj = phys.lam * log1p_series_shifted(detC_m1) / 2.0
-    S = llnj[..., None, None] * Cinv
-    F = jnp.eye(3, dtype=gradu.dtype) + gradu
-    dE = 0.5 * (
-        jnp.einsum("...nj,...nk->...jk", graddu, F)
-        + jnp.einsum("...nj,...nk->...jk", F, graddu)
-    )
-    cinv_dE = jnp.einsum("...jk,...jk->...", Cinv, dE)
-    CidECi = jnp.einsum("...jm,...mn,...nk->...jk", Cinv, dE, Cinv)
-    dS = (
-        phys.lam * cinv_dE[..., None, None] * Cinv
-        - 2.0 * llnj[..., None, None] * CidECi
-    )
-    dP = jnp.einsum("...jm,...mk->...jk", graddu, S) + jnp.einsum(
-        "...jm,...mk->...jk", F, dS
-    )
+    S = llnj * Cinv
+    F = mat_eye_plus(gradu)
+    gTF = mat_T1_mul(graddu, F)
+    dE = 0.5 * (gTF + jnp.swapaxes(gTF, 0, 1))
+    cinv_dE = mat_ddot(Cinv, dE)
+    CidECi = mat_mul(Cinv, mat_mul(dE, Cinv))
+    dS = phys.lam * cinv_dE * Cinv - 2.0 * llnj * CidECi
+    dP = mat_mul(graddu, S) + mat_mul(F, dS)
     return weight_test_grad(dP, dXdx, wdetJ)
 
 

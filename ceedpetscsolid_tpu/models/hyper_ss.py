@@ -4,6 +4,8 @@ sigma = lambda log(1 + e_v) I + 2 mu eps, with e_v = tr(eps); the Newton
 linearization replaces lambda by lambda_bar = lambda/(1 + e_v)
 (hyperSS.h:293-302). The residual stashes the PHYSICAL gradient gradu for
 the Jacobian (hyperSS.h:69-70, 115-120).
+
+Component-major planes: (3, 3, nelem, Q) — see models/base.py.
 """
 
 from __future__ import annotations
@@ -13,6 +15,9 @@ import jax.numpy as jnp
 from .base import (
     Physics,
     log1p_series,
+    mat_ddot,
+    mat_scale_eye_plus,
+    mat_trace,
     ref_to_phys_grad,
     sym,
     unpack_qdata,
@@ -27,11 +32,10 @@ def residual_qf(du_ref, qdata, phys: Physics):
     wdetJ, dXdx = unpack_qdata(qdata)
     gradu = ref_to_phys_grad(du_ref, dXdx)
     e = sym(gradu)
-    ev = jnp.trace(e, axis1=-2, axis2=-1)
+    ev = mat_trace(e)
     llv = log1p_series(ev)
-    eye = jnp.eye(3, dtype=e.dtype)
     # hyperSS.h:156-163: diag lambda*llv + 2mu*e_ii; off-diag 2mu*e_ij
-    sigma = phys.lam * llv[..., None, None] * eye + phys.two_mu * e
+    sigma = mat_scale_eye_plus(phys.lam * llv, phys.two_mu * e)
     return weight_test_grad(sigma, dXdx, wdetJ), gradu
 
 
@@ -40,20 +44,19 @@ def jacobian_qf(ddu_ref, qdata, gradu, phys: Physics):
     graddu = ref_to_phys_grad(ddu_ref, dXdx)
     de = sym(graddu)
     # lambda_bar from the STASHED state gradient (hyperSS.h:294-295)
-    ev = gradu[..., 0, 0] + gradu[..., 1, 1] + gradu[..., 2, 2]
+    ev = gradu[0, 0] + gradu[1, 1] + gradu[2, 2]
     lam_bar = phys.lam / (1 + ev)
-    dtr = jnp.trace(de, axis1=-2, axis2=-1)
-    eye = jnp.eye(3, dtype=de.dtype)
-    dsigma = (lam_bar * dtr)[..., None, None] * eye + phys.two_mu * de
+    dtr = mat_trace(de)
+    dsigma = mat_scale_eye_plus(lam_bar * dtr, phys.two_mu * de)
     return weight_test_grad(dsigma, dXdx, wdetJ)
 
 
 def energy_qf(du_ref, qdata, phys: Physics):
     wdetJ, dXdx = unpack_qdata(qdata)
     e = sym(ref_to_phys_grad(du_ref, dXdx))
-    ev = jnp.trace(e, axis1=-2, axis2=-1)
+    ev = mat_trace(e)
     llv = log1p_series(ev)
-    shear = e[..., 0, 1] ** 2 + e[..., 0, 2] ** 2 + e[..., 1, 2] ** 2
+    shear = e[0, 1] ** 2 + e[0, 2] ** 2 + e[1, 2] ** 2
     # Verbatim hyperSS.h:405-408
     return (
         phys.lam * (1 + ev) * (llv - 1) + ev * phys.mu + shear * 2 * phys.mu
@@ -61,19 +64,14 @@ def energy_qf(du_ref, qdata, phys: Physics):
 
 
 def diagnostic_qf(u, du_ref, qdata, phys: Physics):
-    """hyperSS.h:418-522."""
+    """hyperSS.h:418-522. u: (3, *batch)."""
     _, dXdx = unpack_qdata(qdata)
     e = sym(ref_to_phys_grad(du_ref, dXdx))
-    ev = jnp.trace(e, axis1=-2, axis2=-1)
+    ev = mat_trace(e)
     llv = log1p_series(ev)
-    ee = jnp.sum(e * jnp.swapaxes(e, -1, -2), axis=(-2, -1))
-    shear = e[..., 0, 1] ** 2 + e[..., 0, 2] ** 2 + e[..., 1, 2] ** 2
+    ee = mat_ddot(e, e)
+    shear = e[0, 1] ** 2 + e[0, 2] ** 2 + e[1, 2] ** 2
     energy = phys.lam * (1 + ev) * (llv - 1) + ev * phys.mu + shear * 2 * phys.mu
     return jnp.stack(
-        [
-            u[..., 0], u[..., 1], u[..., 2],
-            -phys.lam * llv,
-            ev, ee, 1 + ev, energy,
-        ],
-        axis=-1,
+        [u[0], u[1], u[2], -phys.lam * llv, ev, ee, 1 + ev, energy], axis=0
     )

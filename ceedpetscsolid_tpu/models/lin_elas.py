@@ -5,6 +5,8 @@ identical in structure (linElas.h:163-280). Energy and the 8-component
 diagnostic follow linElas.h:285-479, including the reference's exact energy
 expression (which uses `tr(eps)*mu` rather than `mu*(e00^2+e11^2+e22^2)`;
 reproduced verbatim for oracle parity, linElas.h:363-366).
+
+All fields are component-major planes: (3, 3, nelem, Q) — see models/base.py.
 """
 
 from __future__ import annotations
@@ -13,6 +15,9 @@ import jax.numpy as jnp
 
 from .base import (
     Physics,
+    mat_ddot,
+    mat_scale_eye_plus,
+    mat_trace,
     ref_to_phys_grad,
     sym,
     unpack_qdata,
@@ -33,10 +38,12 @@ def _sigma(e: jnp.ndarray, phys: Physics) -> jnp.ndarray:
     ss = phys.E / ((1 + phys.nu) * (1 - 2 * phys.nu))
     lam_voigt = ss * phys.nu
     mu = ss * (1 - 2 * phys.nu) / 2
-    tr = jnp.trace(e, axis1=-2, axis2=-1)[..., None, None]
-    eye = jnp.eye(3, dtype=e.dtype)
-    diag_e = e * eye
-    return lam_voigt * tr * eye + mu * (e + diag_e)
+    tr = mat_trace(e)
+    s = mu * e
+    s = s.at[0, 0].add(mu * e[0, 0])
+    s = s.at[1, 1].add(mu * e[1, 1])
+    s = s.at[2, 2].add(mu * e[2, 2])
+    return mat_scale_eye_plus(lam_voigt * tr, s)
 
 
 def residual_qf(du_ref, qdata, phys: Physics):
@@ -57,26 +64,21 @@ def jacobian_qf(ddu_ref, qdata, stash, phys: Physics):
 def energy_qf(du_ref, qdata, phys: Physics):
     wdetJ, dXdx = unpack_qdata(qdata)
     e = sym(ref_to_phys_grad(du_ref, dXdx))
-    tr = jnp.trace(e, axis1=-2, axis2=-1)
-    shear = e[..., 0, 1] ** 2 + e[..., 0, 2] ** 2 + e[..., 1, 2] ** 2
+    tr = mat_trace(e)
+    shear = e[0, 1] ** 2 + e[0, 2] ** 2 + e[1, 2] ** 2
     # Verbatim reference expression (linElas.h:363-366)
     return (phys.lam * tr * tr / 2 + tr * phys.mu + shear * 2 * phys.mu) * wdetJ
 
 
 def diagnostic_qf(u, du_ref, qdata, phys: Physics):
-    """8 components: ux,uy,uz, pressure, tr(e), e:e, 1+tr(e), energy density
-    (linElas.h:376-479)."""
+    """8 planes: ux,uy,uz, pressure, tr(e), e:e, 1+tr(e), energy density
+    (linElas.h:376-479). u: (3, *batch)."""
     _, dXdx = unpack_qdata(qdata)
     e = sym(ref_to_phys_grad(du_ref, dXdx))
-    tr = jnp.trace(e, axis1=-2, axis2=-1)
-    ee = jnp.sum(e * jnp.swapaxes(e, -1, -2), axis=(-2, -1))
-    shear = e[..., 0, 1] ** 2 + e[..., 0, 2] ** 2 + e[..., 1, 2] ** 2
+    tr = mat_trace(e)
+    ee = mat_ddot(e, e)
+    shear = e[0, 1] ** 2 + e[0, 2] ** 2 + e[1, 2] ** 2
     energy = phys.lam * tr * tr / 2 + tr * phys.mu + shear * 2 * phys.mu
     return jnp.stack(
-        [
-            u[..., 0], u[..., 1], u[..., 2],
-            -phys.lam * tr,
-            tr, ee, 1 + tr, energy,
-        ],
-        axis=-1,
+        [u[0], u[1], u[2], -phys.lam * tr, tr, ee, 1 + tr, energy], axis=0
     )

@@ -27,12 +27,13 @@ def true_solution(xyz: jnp.ndarray) -> jnp.ndarray:
     ) / 1e8
 
 
-def mms_force(xyz: jnp.ndarray, wdetJ: jnp.ndarray, phys) -> jnp.ndarray:
-    """(..., 3) coords, (...,) wdetJ -> (..., 3) weighted force.
+def mms_force(xyz_cm: jnp.ndarray, wdetJ: jnp.ndarray, phys) -> jnp.ndarray:
+    """(3, *batch) coordinate planes, (*batch,) wdetJ -> (3, *batch) weighted
+    force planes (component-major device layout).
 
     Verbatim transcription of manufacturedForce.h:62-101.
     """
-    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    x, y, z = xyz_cm[0], xyz_cm[1], xyz_cm[2]
     E, nu = phys.E, phys.nu
     den = (nu * 2.0 - 1.0) * (nu + 1.0)
     sin, cos, exp = jnp.sin, jnp.cos, jnp.exp
@@ -64,4 +65,4 @@ def mms_force(xyz: jnp.ndarray, wdetJ: jnp.ndarray, phys) -> jnp.ndarray:
         - (E * nu * sin(y * 3) * sin(z * 4) * exp(x * 2) * 8.0) / den
         - (E * cos(y * 3) * sin(x * 2) * exp(z * 4) * (nu - 1.0) * 16.0) / den
     )
-    return jnp.stack([f0, f1, f2], axis=-1) * wdetJ[..., None] / 1e8
+    return jnp.stack([f0, f1, f2], axis=0) * wdetJ / 1e8

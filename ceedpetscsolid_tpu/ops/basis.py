@@ -151,20 +151,26 @@ class Basis3D:
         )
 
     # ------------------------------------------------------------------
-    # Device application (element-batched). ue: (nelem, P3, ncomp)
+    # Device application, COMPONENT-MAJOR (TPU layout: long dims minor).
+    # ue: (ncomp, nelem, P3); gradients are (ncomp, 3, nelem, Q3) planes.
+    # Each application is a single MXU contraction over P3.
     # ------------------------------------------------------------------
     def apply_interp(self, ue: jnp.ndarray) -> jnp.ndarray:
-        """(nelem, P3, ncomp) -> (nelem, Q3, ncomp)."""
-        return jnp.einsum("qp,epc->eqc", self.interp, ue, preferred_element_type=ue.dtype)
+        """(ncomp, nelem, P3) -> (ncomp, nelem, Q3)."""
+        return jnp.einsum("qp,cep->ceq", self.interp, ue,
+                          preferred_element_type=ue.dtype)
 
     def apply_grad(self, ue: jnp.ndarray) -> jnp.ndarray:
-        """(nelem, P3, ncomp) -> (nelem, Q3, ncomp, 3) reference-coord grads."""
-        return jnp.einsum("dqp,epc->eqcd", self.grad, ue, preferred_element_type=ue.dtype)
+        """(ncomp, nelem, P3) -> (ncomp, 3, nelem, Q3) reference-coord grads."""
+        return jnp.einsum("dqp,cep->cdeq", self.grad, ue,
+                          preferred_element_type=ue.dtype)
 
     def apply_interp_T(self, vq: jnp.ndarray) -> jnp.ndarray:
-        """(nelem, Q3, ncomp) -> (nelem, P3, ncomp)."""
-        return jnp.einsum("qp,eqc->epc", self.interp, vq, preferred_element_type=vq.dtype)
+        """(ncomp, nelem, Q3) -> (ncomp, nelem, P3)."""
+        return jnp.einsum("qp,ceq->cep", self.interp, vq,
+                          preferred_element_type=vq.dtype)
 
     def apply_grad_T(self, dv: jnp.ndarray) -> jnp.ndarray:
-        """(nelem, Q3, ncomp, 3) -> (nelem, P3, ncomp)."""
-        return jnp.einsum("dqp,eqcd->epc", self.grad, dv, preferred_element_type=dv.dtype)
+        """(ncomp, 3, nelem, Q3) -> (ncomp, nelem, P3)."""
+        return jnp.einsum("dqp,cdeq->cep", self.grad, dv,
+                          preferred_element_type=dv.dtype)

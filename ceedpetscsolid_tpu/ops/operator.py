@@ -6,10 +6,15 @@ exactly the A = G^T B^T D B G decomposition of the reference
 (SURVEY L2; reference src/setuplibceed.c:529-542), jit-compiled as one XLA
 computation so gather/contractions/pointwise physics all fuse.
 
-Geometric qdata is computed once from the trilinear coordinate basis
-(reference src/setuplibceed.c:388-389) and shared by residual, Jacobian,
-energy and diagnostic operators of every multigrid level (all levels use the
-fine level's quadrature, src/setuplibceed.c:757).
+TPU-first layout: all nodal fields are COMPONENT-MAJOR (ncomp, num_nodes),
+element fields are (ncomp, nelem, P3), and quadrature tensors are
+(3, 3, nelem, Q3) planes — long axes minor-most for full lane utilization
+(see models/base.py).
+
+Geometric qdata (10, nelem, Q3) is computed once from the trilinear
+coordinate basis (reference src/setuplibceed.c:388-389) and shared by
+residual, Jacobian, energy and diagnostic operators of every multigrid
+level (all levels use the fine level's quadrature, src/setuplibceed.c:757).
 """
 
 from __future__ import annotations
@@ -66,7 +71,8 @@ class OperatorFactory:
         self.levels = [
             LevelOps(
                 space=s,
-                restr=Restriction(s.conn, s.num_nodes),
+                restr=Restriction(s.conn, s.num_nodes,
+                                  node_ranges=s.entity_node_ranges()),
                 basis=Basis3D.create(s.degree + 1, self.Q1d, "gauss", self.dtype),
             )
             for s in spaces
@@ -77,23 +83,23 @@ class OperatorFactory:
         self.coord_restr = Restriction(mesh.connectivity.astype(np.int32),
                                        mesh.num_vertices)
         self.coord_basis = Basis3D.create(2, self.Q1d, "gauss", self.dtype)
-        self.vertex_coords = jnp.asarray(mesh.vertices, dtype=self.dtype)
+        self.vertex_coords = jnp.asarray(mesh.vertices.T, dtype=self.dtype)
 
     # ------------------------------------------------------------------
     def compute_qdata(self) -> jnp.ndarray:
-        """(nelem, Q3, 10) geometric factors; computed once at setup."""
-        xe = self.coord_restr.gather(self.vertex_coords)       # (nelem, 8, 3)
-        dxdX = self.coord_basis.apply_grad(xe)                 # (nelem,Q3,3,3)
+        """(10, nelem, Q3) geometric factors; computed once at setup."""
+        xe = self.coord_restr.gather(self.vertex_coords)       # (3, nelem, 8)
+        dxdX = self.coord_basis.apply_grad(xe)                 # (3,3,e,Q3)
         return geometry.setup_geo(dxdX, self.coord_basis.qweights)
 
     def quad_coords(self) -> jnp.ndarray:
-        """(nelem, Q3, 3) physical coordinates of quadrature points."""
+        """(3, nelem, Q3) physical coordinates of quadrature points."""
         xe = self.coord_restr.gather(self.vertex_coords)
         return self.coord_basis.apply_interp(xe)
 
     # ------------------------------------------------------------------
     def make_residual(self, residual_qf: Callable, phys) -> Callable:
-        """u (nnodes,3), qdata -> (residual L-vector, stash or None)."""
+        """u (3, nnodes), qdata -> (residual L-vector, stash or None)."""
         restr, basis = self.fine.restr, self.fine.basis
 
         def apply(u, qdata):
@@ -106,7 +112,7 @@ class OperatorFactory:
         return apply
 
     def make_jacobian(self, jacobian_qf: Callable, phys, level: int = -1) -> Callable:
-        """du (nnodes_level,3), qdata, stash -> J@du L-vector at `level`."""
+        """du (3, nnodes_level), qdata, stash -> J@du L-vector at `level`."""
         lvl = self.levels[level]
         restr, basis = lvl.restr, lvl.basis
 
@@ -136,7 +142,7 @@ class OperatorFactory:
         return apply
 
     def make_diagnostic(self, diagnostic_qf: Callable, phys) -> Callable:
-        """u -> (nnodes, 8) multiplicity-averaged nodal diagnostics.
+        """u (3, nnodes) -> (nnodes, 8) multiplicity-averaged diagnostics.
 
         Collocation P -> P Gauss-Lobatto basis (src/setuplibceed.c:347),
         scatter-add then divide by multiplicity (src/misc.c:258-291).
@@ -151,16 +157,15 @@ class OperatorFactory:
         # qweights are irrelevant for diagnostics (wdetJ unused); pass ones
         qd_coll = geometry.setup_geo(dxdX, jnp.ones(P ** 3, self.dtype))
         mult = restr.scatter_add(
-            jnp.ones((restr.nelem, restr.P3, 1), self.dtype)
+            jnp.ones((1, restr.nelem, restr.P3), self.dtype)
         )
 
         def apply(u):
-            ue = restr.gather(u)
-            uq = coll.apply_interp(ue)       # values at GLL lattice == ue
+            ue = restr.gather(u)                  # values at GLL lattice
             du = coll.apply_grad(ue)
-            diag = diagnostic_qf(uq, du, qd_coll, phys)   # (nelem, P3, 8)
+            diag = diagnostic_qf(ue, du, qd_coll, phys)   # (8, nelem, P3)
             acc = restr.scatter_add(diag)
-            return acc / mult
+            return (acc / mult).T                 # (nnodes, 8)
 
         return apply
 
@@ -177,7 +182,7 @@ class OperatorFactory:
         Pc, Pf = c.space.degree + 1, f.space.degree + 1
         c2f = Basis3D.create(Pc, Pf, "gauss_lobatto", self.dtype)
         mult = f.restr.scatter_add(
-            jnp.ones((f.restr.nelem, f.restr.P3, 1), self.dtype)
+            jnp.ones((1, f.restr.nelem, f.restr.P3), self.dtype)
         )
         inv_mult = 1.0 / mult
 
@@ -198,7 +203,7 @@ class OperatorFactory:
         """Assembled operator diagonal at `level` (E1d).
 
         CeedOperatorLinearAssembleDiagonal analog (src/matops.c:206-244):
-        diag[e,p,c] = sum_q sum_{d1,d2} Bg[d1,q,p] K[e,q,c,d1,c,d2] Bg[d2,q,p]
+        diag[c,e,p] = sum_q sum_{d1,d2} Bg[d1,q,p] K[c,d1,c,d2] Bg[d2,q,p]
         where K is the pointwise Jacobian tensor. K's (c, :, c, :) slices are
         extracted with 9 unit-gradient applications of the qfunction.
         """
@@ -208,18 +213,17 @@ class OperatorFactory:
         BB = jnp.einsum("aqp,bqp->qpab", basis.grad, basis.grad)
 
         def apply(qdata, stash):
-            nelem = restr.nelem
-            Q3 = basis.Q3
-            diag_e = jnp.zeros((nelem, basis.P3, 3), self.dtype)
+            nelem = qdata.shape[1]
+            Q3 = qdata.shape[2]
+            diag_e = jnp.zeros((3, nelem, basis.P3), self.dtype)
             for c2 in range(3):
                 for d2 in range(3):
-                    unit = jnp.zeros((3, 3), self.dtype).at[c2, d2].set(1.0)
-                    du = jnp.broadcast_to(unit, (nelem, Q3, 3, 3))
-                    ddv = jacobian_qf(du, qdata, stash, phys)  # (nelem,Q3,3,3)
-                    Krow = ddv[..., c2, :]                     # (nelem,Q3,3)=K[c2,d1,c2,d2]
-                    # BB[..., d2]: (q,p,d1); Krow: (e,q,d1) -> (e,p) for comp c2
-                    contrib = jnp.einsum("qpa,eqa->ep", BB[..., d2], Krow)
-                    diag_e = diag_e.at[:, :, c2].add(contrib)
+                    du = jnp.zeros((3, 3, nelem, Q3), self.dtype)
+                    du = du.at[c2, d2].set(1.0)
+                    ddv = jacobian_qf(du, qdata, stash, phys)  # (3,3,e,q)
+                    Krow = ddv[c2]                             # (3,e,q)=K[c2,d1,c2,d2]
+                    contrib = jnp.einsum("qpa,aeq->ep", BB[..., d2], Krow)
+                    diag_e = diag_e.at[c2].add(contrib)
             return restr.scatter_add(diag_e)
 
         return apply

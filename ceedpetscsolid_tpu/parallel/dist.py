@@ -73,47 +73,50 @@ def _blk(x):
 
 
 def g2l(owned, sa: ShardArrays):
-    """(1, n_owned_max, c) -> (n_local, c): fill owned + exchange ghosts."""
-    ow = _blk(owned)
-    c = ow.shape[-1]
-    send = jnp.take(ow, _blk(sa.pair_owned_slot), axis=0)       # (ndev, m, c)
-    send = send * _blk(sa.pair_valid_owner)[..., None]
-    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0,
+    """(1, c, n_owned_max) -> (c, n_local): fill owned + exchange ghosts.
+
+    Component-major: the node axis is minor-most (full TPU lanes)."""
+    ow = _blk(owned)                                            # (c, n_owned)
+    c = ow.shape[0]
+    send = jnp.take(ow, _blk(sa.pair_owned_slot), axis=1)       # (c, ndev, m)
+    send = send * _blk(sa.pair_valid_owner)[None]
+    recv = jax.lax.all_to_all(send, AXIS, split_axis=1, concat_axis=1,
                               tiled=True)
-    local = jnp.zeros((sa.n_local, c), ow.dtype)
-    local = local.at[: sa.n_owned_max].set(ow)
+    local = jnp.zeros((c, sa.n_local), ow.dtype)
+    local = local.at[:, : sa.n_owned_max].set(ow)
     gslots = _blk(sa.pair_ghost_slot).reshape(-1)               # pads -> trash
-    local = local.at[gslots].set(recv.reshape(-1, c))
+    local = local.at[:, gslots].set(recv.reshape(c, -1))
     return local
 
 
 def l2g_add(local, sa: ShardArrays):
-    """(n_local, c) -> (1, n_owned_max, c): keep owned part + owner-sum ghosts."""
-    c = local.shape[-1]
-    send = jnp.take(local, _blk(sa.pair_ghost_slot), axis=0)    # (ndev, m, c)
-    send = send * _blk(sa.pair_valid_holder)[..., None]
-    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0,
+    """(c, n_local) -> (1, c, n_owned_max): keep owned part + owner-sum ghosts."""
+    c = local.shape[0]
+    send = jnp.take(local, _blk(sa.pair_ghost_slot), axis=1)    # (c, ndev, m)
+    send = send * _blk(sa.pair_valid_holder)[None]
+    recv = jax.lax.all_to_all(send, AXIS, split_axis=1, concat_axis=1,
                               tiled=True)
     oslots = _blk(sa.pair_owned_slot).reshape(-1)
-    add = jax.ops.segment_sum(recv.reshape(-1, c), oslots,
-                              num_segments=sa.n_owned_max)
-    out = local[: sa.n_owned_max] + add
-    out = out * _blk(sa.owned_valid)[..., None]
+    add = jax.vmap(
+        lambda d: jax.ops.segment_sum(d, oslots, num_segments=sa.n_owned_max)
+    )(recv.reshape(c, -1))
+    out = local[:, : sa.n_owned_max] + add
+    out = out * _blk(sa.owned_valid)[None]
     return out[None]
 
 
 def gather_elements(local, sa: ShardArrays):
-    """(n_local, c) -> (nelem_max, P3, c) E-vector."""
-    return jnp.take(local, _blk(sa.conn_local), axis=0)
+    """(c, n_local) -> (c, nelem_max, P3) E-vector."""
+    return jnp.take(local, _blk(sa.conn_local), axis=1)
 
 
 def scatter_elements(ve, sa: ShardArrays):
-    """(nelem_max, P3, c) -> (n_local, c) scatter-add (trash collects pads)."""
-    c = ve.shape[-1]
-    return jax.ops.segment_sum(
-        ve.reshape(-1, c), _blk(sa.conn_local).reshape(-1),
-        num_segments=sa.n_local,
-    )
+    """(c, nelem_max, P3) -> (c, n_local) scatter-add (trash collects pads)."""
+    c = ve.shape[0]
+    ids = _blk(sa.conn_local).reshape(-1)
+    return jax.vmap(
+        lambda d: jax.ops.segment_sum(d, ids, num_segments=sa.n_local)
+    )(ve.reshape(c, -1))
 
 
 def apply_local_op(owned, sa: ShardArrays, element_fn):

@@ -50,8 +50,13 @@ class DistributedProblem:
         self.phys = prob.phys
         self.dtype = prob.dtype
 
+        # qdata (10, nelem, Q3) -> (ndev, 10, nelem_max, Q3), zero padding
         qd = np.asarray(prob.qdata)
-        self.qdata_sh = jnp.asarray(_pad_elements(qd, self.part))
+        nq, nelem, Q3 = qd.shape
+        qd_pad = np.zeros((nq, self.part.ndev * self.part.nelem_max, Q3), qd.dtype)
+        qd_pad[:, :nelem] = qd
+        qd_pad = qd_pad.reshape(nq, self.part.ndev, self.part.nelem_max, Q3)
+        self.qdata_sh = jnp.asarray(np.moveaxis(qd_pad, 1, 0))
 
         self.mask_sh = jnp.asarray(
             scatter_global_to_owned(self.part, np.asarray(prob.bc_mask))
@@ -98,16 +103,16 @@ class DistributedProblem:
         BB = jnp.einsum("aqp,bqp->qpab", basis.grad, basis.grad)
 
         def elem_diagonal(qdata, stash):
-            nelem, Q3 = qdata.shape[0], qdata.shape[1]
-            diag_e = jnp.zeros((nelem, basis.P3, 3), self.dtype)
+            nelem, Q3 = qdata.shape[1], qdata.shape[2]
+            diag_e = jnp.zeros((3, nelem, basis.P3), self.dtype)
             for c2 in range(3):
                 for d2 in range(3):
-                    unit = jnp.zeros((3, 3), self.dtype).at[c2, d2].set(1.0)
-                    du = jnp.broadcast_to(unit, (nelem, Q3, 3, 3))
+                    du = jnp.zeros((3, 3, nelem, Q3), self.dtype)
+                    du = du.at[c2, d2].set(1.0)
                     ddv = model.jacobian_qf(du, qdata, stash, phys)
-                    Krow = ddv[..., c2, :]
-                    contrib = jnp.einsum("qpa,eqa->ep", BB[..., d2], Krow)
-                    diag_e = diag_e.at[:, :, c2].add(contrib)
+                    Krow = ddv[c2]
+                    contrib = jnp.einsum("qpa,aeq->ep", BB[..., d2], Krow)
+                    diag_e = diag_e.at[c2].add(contrib)
             return diag_e
 
         def body(u, bc_vals, F, mask, qdata, sa):
@@ -200,7 +205,7 @@ class DistributedProblem:
     def newton_step(self, u_owned, load_increment: float):
         bc = self.to_owned(self.problem.bcs.values(
             self.problem._coords, load_increment
-        ).astype(np.asarray(u_owned).dtype))
+        ).T.astype(np.asarray(u_owned).dtype))
         F = self.F_sh * load_increment
         return self._step(u_owned, bc, F, self.mask_sh, self.qdata_sh, self.sa)
 
@@ -209,7 +214,7 @@ class DistributedProblem:
         cfg = self.problem.config
         n_inc = num_increments or cfg.num_increments
         u = self.to_owned(
-            np.zeros((self.problem.fine_space.num_nodes, 3))
+            np.zeros((3, self.problem.fine_space.num_nodes))
         )
         total_ksp = 0
         total_newton = 0
@@ -226,8 +231,8 @@ class DistributedProblem:
                 r = float(rnorm)
                 if r < 1e-50 or r < rtol * rnorm_entry0:
                     break
-        u_np = self.to_global(u)
-        bc_vals = self.problem.bcs.values(self.problem._coords, 1.0)
+        u_np = self.to_global(u)                       # (3, num_nodes)
+        bc_vals = self.problem.bcs.values(self.problem._coords, 1.0).T
         mask = np.asarray(self.problem.bc_mask)
         u_np = np.where(mask, bc_vals, u_np)
         return u_np, {

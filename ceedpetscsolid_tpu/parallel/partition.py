@@ -169,20 +169,22 @@ def partition_space(conn: np.ndarray, num_nodes: int, ndev: int) -> SpacePartiti
     )
 
 
-def scatter_global_to_owned(part: SpacePartition, u: np.ndarray) -> np.ndarray:
-    """(num_nodes, c) -> (ndev, n_owned_max, c), zero padding."""
-    c = u.shape[-1]
-    out = np.zeros((part.ndev, part.n_owned_max, c), dtype=u.dtype)
+def scatter_global_to_owned(part: SpacePartition, u_cm: np.ndarray) -> np.ndarray:
+    """(c, num_nodes) -> (ndev, c, n_owned_max), zero padding (component-major)."""
+    c = u_cm.shape[0]
+    out = np.zeros((part.ndev, c, part.n_owned_max), dtype=u_cm.dtype)
     ids = part.owned_global_ids
     valid = part.owned_valid
-    out[valid] = u[ids[valid]]
+    for s in range(part.ndev):
+        out[s][:, valid[s]] = u_cm[:, ids[s][valid[s]]]
     return out
 
 
 def gather_owned_to_global(part: SpacePartition, owned: np.ndarray) -> np.ndarray:
-    """(ndev, n_owned_max, c) -> (num_nodes, c)."""
-    c = owned.shape[-1]
-    out = np.zeros((part.num_nodes_global, c), dtype=owned.dtype)
+    """(ndev, c, n_owned_max) -> (c, num_nodes)."""
+    c = owned.shape[1]
+    out = np.zeros((c, part.num_nodes_global), dtype=owned.dtype)
     valid = part.owned_valid
-    out[part.owned_global_ids[valid]] = owned[valid]
+    for s in range(part.ndev):
+        out[:, part.owned_global_ids[s][valid[s]]] = owned[s][:, valid[s]]
     return out

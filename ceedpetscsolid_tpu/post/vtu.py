@@ -39,6 +39,8 @@ def write_vtu(path: str, fes, u, diagnostics=None):
     """Write displacement (+ optional 8-component diagnostics) to `path`."""
     coords = np.asarray(fes.coords)
     u = np.asarray(u)
+    if u.ndim == 2 and u.shape[0] == 3 and u.shape[1] != 3:
+        u = u.T          # accept component-major (3, nnodes) device layout
     cells = _subcells(fes.conn, fes.P)
     ncell = cells.shape[0]
     npts = coords.shape[0]

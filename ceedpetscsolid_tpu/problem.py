@@ -142,7 +142,8 @@ class ElasticityProblem:
                 cmax[3:6] = rot[:3] / norm        # cloptions.c:124-131
                 cmax[6] = rot[3]
                 self.bcs.add_clamp(fes.face_set_nodes(face), cmax)
-        mask_np = self.bcs.mask()
+        # component-major (3, nnodes) device layout throughout the solver
+        mask_np = self.bcs.mask().T
         self.bc_mask = jnp.asarray(mask_np)
         self.free_mask = jnp.asarray(~mask_np)
         self._coords = fes.coords
@@ -203,7 +204,7 @@ class ElasticityProblem:
     # ------------------------------------------------------------------
     def bc_values(self, load_increment: float) -> jnp.ndarray:
         v = self.bcs.values(self._coords, load_increment)
-        return jnp.asarray(v, self.dtype)
+        return jnp.asarray(v.T, self.dtype)          # (3, nnodes)
 
     def insert_bc(self, u: jnp.ndarray, bc_vals: jnp.ndarray) -> jnp.ndarray:
         """DMPlexInsertBoundaryValues analog (matops.c:70-73)."""
@@ -334,13 +335,13 @@ class ElasticityProblem:
         else:
             for face in cfg.bc_clamp:
                 bcs.add_clamp(space.face_set_nodes(face), np.zeros(7))
-        return jnp.asarray(bcs.mask())
+        return jnp.asarray(bcs.mask().T)             # (3, nnodes)
 
     # ------------------------------------------------------------------
     def solve(self, monitor=None) -> "SolveInfo":
         """Load-increment continuation loop (elasticity.c:636-673)."""
         cfg = self.config
-        u = jnp.zeros((self.fine_space.num_nodes, 3), self.dtype)
+        u = jnp.zeros((3, self.fine_space.num_nodes), self.dtype)
         total_snes = total_ksp = 0
         rnorm = 0.0
         t0 = time.perf_counter()
@@ -385,7 +386,7 @@ class ElasticityProblem:
     def mms_error(self, u: jnp.ndarray) -> float:
         """Relative L2 error vs MMS true solution over free DOFs
         (elasticity.c:770-816; true solution at nodes, setuplibceed.c:592-643)."""
-        u_star = mms.true_solution(jnp.asarray(self._coords, self.dtype))
+        u_star = mms.true_solution(jnp.asarray(self._coords, self.dtype)).T
         free = self.free_mask
         diff = jnp.where(free, u - u_star, 0.0)
         denom = jnp.where(free, u_star, 0.0)

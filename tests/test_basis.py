@@ -54,8 +54,8 @@ def test_basis3d_grad_matches_analytic():
     X, Y, Z = np.meshgrid(nodes, nodes, nodes, indexing="ij")
     # lattice order x fastest: flat = i + P*(j + P*k) -> transpose to (k,j,i)
     f = (X**2 * Y + Z**3).transpose(2, 1, 0).reshape(-1)
-    ue = jnp.asarray(f)[None, :, None]
-    du = np.asarray(b.apply_grad(ue))[0, :, 0, :]
+    ue = jnp.asarray(f)[None, None, :]          # (ncomp=1, nelem=1, P3)
+    du = np.asarray(b.apply_grad(ue))[0, :, 0, :].T   # (Q3, 3)
     q = b.b1.qpts
     QX, QY, QZ = np.meshgrid(q, q, q, indexing="ij")
     qx = QX.transpose(2, 1, 0).ravel()
@@ -69,8 +69,8 @@ def test_basis3d_grad_matches_analytic():
 def test_basis3d_transpose_adjoint():
     b = Basis3D.create(3, 4, "gauss", jnp.float64)
     rng = np.random.default_rng(0)
-    ue = jnp.asarray(rng.normal(size=(5, b.P3, 3)))
-    dv = jnp.asarray(rng.normal(size=(5, b.Q3, 3, 3)))
+    ue = jnp.asarray(rng.normal(size=(3, 5, b.P3)))
+    dv = jnp.asarray(rng.normal(size=(3, 3, 5, b.Q3)))
     lhs = jnp.sum(b.apply_grad(ue) * dv)
     rhs = jnp.sum(ue * b.apply_grad_T(dv))
     assert np.isclose(float(lhs), float(rhs), rtol=1e-12)

@@ -19,7 +19,7 @@ def test_partition_roundtrip():
     fes = build_fespace(box_mesh((3, 3, 3)), 2)
     part = partition_space(fes.conn, fes.num_nodes, 4)
     rng = np.random.default_rng(3)
-    u = rng.normal(size=(fes.num_nodes, 3))
+    u = rng.normal(size=(3, fes.num_nodes))
     assert np.allclose(
         gather_owned_to_global(part, scatter_global_to_owned(part, u)), u
     )
@@ -47,4 +47,4 @@ def test_distributed_matches_serial(ndev):
     info = prob.solve()
     dp = DistributedProblem(prob, ndev=ndev)
     u, dinfo = dp.solve()
-    assert np.abs(u - np.asarray(info.u)).max() < 1e-12
+    assert np.abs(u - np.asarray(info.u)).max() < 1e-12   # both (3, nnodes)

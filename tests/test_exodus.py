@@ -16,7 +16,7 @@ def _volume(mesh, degree=1):
     fes = build_fespace(mesh, degree)
     fac = OperatorFactory([fes], qextra=0)
     qd = fac.compute_qdata()
-    return float(jnp.sum(qd[..., 0])), np.asarray(qd[..., 0]).min()
+    return float(jnp.sum(qd[0])), np.asarray(qd[0]).min()
 
 
 def test_cube8_unit_volume():

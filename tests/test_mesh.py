@@ -66,9 +66,9 @@ def test_qdata_volume(degree, qextra):
     fes = build_fespace(m, degree)
     fac = OperatorFactory([fes], qextra=qextra)
     qd = fac.compute_qdata()
-    vol = float(jnp.sum(qd[..., 0]))
+    vol = float(jnp.sum(qd[0]))
     assert np.isclose(vol, 2.0 * 1.0 * 3.0, rtol=1e-12)
-    assert np.all(np.asarray(qd[..., 0]) > 0)
+    assert np.all(np.asarray(qd[0]) > 0)
 
 
 def test_interp_field_continuity_random_mesh_perm():
@@ -84,11 +84,10 @@ def test_interp_field_continuity_random_mesh_perm():
         fac = OperatorFactory([fes], qextra=0)
         qd = fac.compute_qdata()
         a = np.array([1.3, -0.7, 2.1])
-        u = (fes.coords @ a)[:, None] * np.ones((1, 3))
+        u_cm = np.broadcast_to(fes.coords @ a, (3, fes.num_nodes))
         restr, basis = fac.fine.restr, fac.fine.basis
-        du = basis.apply_grad(restr.gather(jnp.asarray(u)))
-        wdetJ = qd[..., 0]
-        dXdx = qd[..., 1:].reshape(qd.shape[0], qd.shape[1], 3, 3)
-        grad_phys = jnp.einsum("eqcm,eqmk->eqck", du, dXdx)
-        err = np.asarray(grad_phys) - a[None, None, None, :]
+        du = basis.apply_grad(restr.gather(jnp.asarray(u_cm)))  # (c,m,e,q)
+        dXdx = qd[1:].reshape(3, 3, qd.shape[1], qd.shape[2])
+        grad_phys = jnp.einsum("cmeq,mkeq->ckeq", du, dXdx)
+        err = np.asarray(grad_phys) - a[None, :, None, None]
         assert np.abs(err).max() < 1e-10

@@ -42,7 +42,7 @@ def test_jacobian_matches_jvp_hyperfs():
                  box_faces=(2, 2, 2), num_increments=1)
     prob = ElasticityProblem(cfg)
     rng = np.random.default_rng(7)
-    u = jnp.asarray(rng.normal(size=(prob.fine_space.num_nodes, 3)) * 0.02)
+    u = jnp.asarray(rng.normal(size=(3, prob.fine_space.num_nodes)) * 0.02)
     bc = prob.bc_values(1.0)
     G, stash = prob._nonlinear_residual(u, bc, prob.F)
     v = jnp.asarray(rng.normal(size=u.shape))
@@ -78,4 +78,4 @@ def test_diagnostics_shape_and_displacement():
     d = prob.diagnostics(info.u)
     assert d.shape == (prob.fine_space.num_nodes, 8)
     # first three diagnostic components are the displacement itself
-    assert np.allclose(np.asarray(d[:, :3]), np.asarray(info.u), atol=1e-12)
+    assert np.allclose(np.asarray(d[:, :3]), np.asarray(info.u).T, atol=1e-12)
