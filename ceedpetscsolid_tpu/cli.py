@@ -101,12 +101,13 @@ def build_config(opts: dict):
         units_meter=get("units_meter", float, 1.0),
         units_second=get("units_second", float, 1.0),
         units_kilogram=get("units_kilogram", float, 1.0),
-        ksp_rtol=get("outer_ksp_rtol", float, 1e-10),
+        ksp_rtol=get("outer_ksp_rtol", float, None),
     )
     view_soln = get("view_soln", _bool, False)
     view_final = get("view_final_soln", _bool, False)
     snes_monitor = get("snes_monitor", _bool, False)
-    known.update({"ceed", "ceed_fine", "memtype", "log_view", "snes_view"})
+    log_view = get("log_view", _bool, False)
+    known.update({"ceed", "ceed_fine", "memtype", "snes_view"})
     unknown = set(opts) - known
     if unknown:
         print(f"WARNING: ignoring unknown options: {sorted(unknown)}", file=sys.stderr)
@@ -119,7 +120,7 @@ def build_config(opts: dict):
     if not cfg.test_mode and not bc_clamp and cfg.forcing != "mms":
         raise SystemExit("-boundary options needed")
     return cfg, dict(view_soln=view_soln, view_final_soln=view_final,
-                     snes_monitor=snes_monitor)
+                     snes_monitor=snes_monitor, log_view=log_view)
 
 
 def main(argv=None):
@@ -139,6 +140,11 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
 
     cfg, viewopts = build_config(opts)
+    if cfg.ksp_rtol is None:
+        # f64 (CPU) matches the reference's 1e-10; f32 TPU cannot reach it
+        cfg.ksp_rtol = 1e-10 if jax.config.jax_enable_x64 else 1e-6
+        if not jax.config.jax_enable_x64:
+            cfg.newton.rtol = 1e-6
     from .problem import ElasticityProblem
 
     prob = ElasticityProblem(cfg)
@@ -147,6 +153,12 @@ def main(argv=None):
         if viewopts["snes_monitor"]:
             print(f"{inc - 1} Load Increment")  # elasticity.c:639-642
             print(f"  SNES iters {res.iters} rnorm {res.rnorm:.6e}")
+        if viewopts["view_soln"]:
+            # per-increment solution output (misc.c:188-212)
+            from .post.vtu import write_vtu
+
+            u_out = prob.insert_bc(res.u, prob.bc_values(load))
+            write_vtu(f"solution-{inc:03d}.vtu", prob.fine_space, u_out)
 
     info = prob.solve(monitor=monitor)
 
@@ -159,6 +171,11 @@ def main(argv=None):
     test_mode = cfg.test_mode
     if not test_mode:
         _print_summary(cfg, prob, info)
+
+    if viewopts["log_view"]:
+        from .utils.timing import GLOBAL_LOG
+
+        print(GLOBAL_LOG.report())
 
     if cfg.forcing == "mms":
         err = prob.mms_error(info.u)

@@ -99,10 +99,14 @@ class OperatorFactory:
 
     # ------------------------------------------------------------------
     def make_residual(self, residual_qf: Callable, phys) -> Callable:
-        """u (3, nnodes), qdata -> (residual L-vector, stash or None)."""
-        restr, basis = self.fine.restr, self.fine.basis
+        """(u (3, nnodes), qdata, restr) -> (residual L-vector, stash or None).
 
-        def apply(u, qdata):
+        The Restriction travels as an argument (it is a pytree) so its large
+        index arrays are jit inputs, not HLO constants.
+        """
+        basis = self.fine.basis
+
+        def apply(u, qdata, restr):
             ue = restr.gather(u)
             du = basis.apply_grad(ue)
             dv, stash = residual_qf(du, qdata, phys)
@@ -112,11 +116,10 @@ class OperatorFactory:
         return apply
 
     def make_jacobian(self, jacobian_qf: Callable, phys, level: int = -1) -> Callable:
-        """du (3, nnodes_level), qdata, stash -> J@du L-vector at `level`."""
-        lvl = self.levels[level]
-        restr, basis = lvl.restr, lvl.basis
+        """(du, qdata, stash, restr) -> J@du L-vector at `level`."""
+        basis = self.levels[level].basis
 
-        def apply(du, qdata, stash):
+        def apply(du, qdata, stash, restr):
             due = restr.gather(du)
             ddu = basis.apply_grad(due)
             ddv = jacobian_qf(ddu, qdata, stash, phys)
@@ -132,9 +135,9 @@ class OperatorFactory:
         E-vector (src/matops.c:247-296); by partition of unity that equals
         the direct quadrature sum done here.
         """
-        restr, basis = self.fine.restr, self.fine.basis
+        basis = self.fine.basis
 
-        def apply(u, qdata):
+        def apply(u, qdata, restr):
             ue = restr.gather(u)
             du = basis.apply_grad(ue)
             return jnp.sum(energy_qf(du, qdata, phys))
@@ -147,10 +150,23 @@ class OperatorFactory:
         Collocation P -> P Gauss-Lobatto basis (src/setuplibceed.c:347),
         scatter-add then divide by multiplicity (src/misc.c:258-291).
         """
-        restr = self.fine.restr
         P = self.fine_degree + 1
         coll = Basis3D.create(P, P, "gauss_lobatto", self.dtype)
-        # geometry at the collocation points
+
+        def apply(u, restr, qd_coll, mult):
+            ue = restr.gather(u)                  # values at GLL lattice
+            du = coll.apply_grad(ue)
+            diag = diagnostic_qf(ue, du, qd_coll, phys)   # (8, nelem, P3)
+            acc = restr.scatter_add(diag)
+            return (acc / mult).T                 # (nnodes, 8)
+
+        return apply
+
+    def diagnostic_setup(self):
+        """(qd_coll, mult) arrays for make_diagnostic (collocation geometry
+        at GLL points, src/setuplibceed.c:347, and nodal multiplicity)."""
+        restr = self.fine.restr
+        P = self.fine_degree + 1
         coll_coord = Basis3D.create(2, P, "gauss_lobatto", self.dtype)
         xe = self.coord_restr.gather(self.vertex_coords)
         dxdX = coll_coord.apply_grad(xe)
@@ -159,15 +175,7 @@ class OperatorFactory:
         mult = restr.scatter_add(
             jnp.ones((1, restr.nelem, restr.P3), self.dtype)
         )
-
-        def apply(u):
-            ue = restr.gather(u)                  # values at GLL lattice
-            du = coll.apply_grad(ue)
-            diag = diagnostic_qf(ue, du, qd_coll, phys)   # (8, nelem, P3)
-            acc = restr.scatter_add(diag)
-            return (acc / mult).T                 # (nnodes, 8)
-
-        return apply
+        return qd_coll, mult
 
     # ------------------------------------------------------------------
     def make_prolongation(self, coarse_level: int, fine_level: int):
@@ -181,22 +189,25 @@ class OperatorFactory:
         c, f = self.levels[coarse_level], self.levels[fine_level]
         Pc, Pf = c.space.degree + 1, f.space.degree + 1
         c2f = Basis3D.create(Pc, Pf, "gauss_lobatto", self.dtype)
+
+        def prolong(uc, restr_c, restr_f, inv_mult):
+            ue = restr_c.gather(uc)
+            fe = c2f.apply_interp(ue)
+            return restr_f.scatter_add(fe) * inv_mult
+
+        def restrict(uf, restr_c, restr_f, inv_mult):
+            fe = restr_f.gather(uf * inv_mult)
+            ce = c2f.apply_interp_T(fe)
+            return restr_c.scatter_add(ce)
+
+        return prolong, restrict
+
+    def fine_inv_multiplicity(self, fine_level: int = -1):
+        f = self.levels[fine_level]
         mult = f.restr.scatter_add(
             jnp.ones((1, f.restr.nelem, f.restr.P3), self.dtype)
         )
-        inv_mult = 1.0 / mult
-
-        def prolong(uc):
-            ue = c.restr.gather(uc)
-            fe = c2f.apply_interp(ue)
-            return f.restr.scatter_add(fe) * inv_mult
-
-        def restrict(uf):
-            fe = f.restr.gather(uf * inv_mult)
-            ce = c2f.apply_interp_T(fe)
-            return c.restr.scatter_add(ce)
-
-        return prolong, restrict
+        return 1.0 / mult
 
     # ------------------------------------------------------------------
     def make_diagonal(self, jacobian_qf: Callable, phys, level: int = -1) -> Callable:
@@ -207,12 +218,11 @@ class OperatorFactory:
         where K is the pointwise Jacobian tensor. K's (c, :, c, :) slices are
         extracted with 9 unit-gradient applications of the qfunction.
         """
-        lvl = self.levels[level]
-        restr, basis = lvl.restr, lvl.basis
+        basis = self.levels[level].basis
         # BB[q, p, d1, d2] = Bg[d1, q, p] * Bg[d2, q, p]
         BB = jnp.einsum("aqp,bqp->qpab", basis.grad, basis.grad)
 
-        def apply(qdata, stash):
+        def apply(qdata, stash, restr):
             nelem = qdata.shape[1]
             Q3 = qdata.shape[2]
             diag_e = jnp.zeros((3, nelem, basis.P3), self.dtype)

@@ -16,6 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Restriction is registered as a jax pytree so its O(nelem) index arrays can
+# be passed through jit boundaries as ARGUMENTS rather than being baked into
+# the compiled module as constants (which inflates the HLO payload by
+# hundreds of MB on large meshes and breaks remote compilation).
+
 
 class Restriction:
     """Gather/scatter between (ncomp, num_nodes) and (ncomp, nelem, P3).
@@ -94,3 +99,30 @@ class Restriction:
         """(num_nodes,) per-node element count."""
         ones = jnp.ones((1, self.nelem, self.P3), dtype=jnp.float32)
         return self.scatter_add(ones)[0]
+
+    # -- pytree protocol -------------------------------------------------
+    def tree_flatten(self):
+        idxs = tuple(idx for _, _, idx in self._t_blocks)
+        ranges = tuple((a, b) for a, b, _ in self._t_blocks)
+        return (self.conn, self._flat, idxs), (
+            self.num_nodes, self.nelem, self.P3, ranges,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        conn, flat, idxs = children
+        obj = cls.__new__(cls)
+        obj.conn = conn
+        obj._flat = flat
+        obj.num_nodes, obj.nelem, obj.P3, ranges = aux
+        obj._t_blocks = [
+            (a, b, idx) for (a, b), idx in zip(ranges, idxs)
+        ]
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    Restriction,
+    lambda r: r.tree_flatten(),
+    Restriction.tree_unflatten,
+)

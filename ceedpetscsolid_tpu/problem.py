@@ -22,9 +22,12 @@ from .models import Physics, get_model, mms
 from .models.boundary import BoundaryConditions
 from .models.forcing import assemble_forcing
 from .ops.operator import OperatorFactory, default_dtype
+from .ops.assembly import CSRAssembler, make_element_matrices
+from .solve.amg import AMGPreconditioner
 from .solve.cg import estimate_extreme_eigs, pcg
 from .solve.newton import NewtonOptions, NewtonResult, newton_solve
 from .solve.pmg import MGLevel, make_vcycle
+from .utils.timing import GLOBAL_LOG
 
 
 @dataclass
@@ -54,9 +57,10 @@ class Config:
     units_second: float = 1.0
     units_kilogram: float = 1.0
     # solver knobs
-    ksp_rtol: float = 1e-10
+    ksp_rtol: float | None = 1e-10
     ksp_max_it: int = 10_000
     smooth_its: int = 3                         # PCMGSetNumberSmooth(3)
+    coarse_solve: str = "amg"                   # amg (GAMG analog) | chebyshev
     newton: NewtonOptions = field(default_factory=NewtonOptions)
 
     def __post_init__(self):
@@ -95,24 +99,29 @@ class ElasticityProblem:
         self.dtype = default_dtype()
         t0 = time.perf_counter()
 
-        # --- mesh -------------------------------------------------------
-        if mesh is None:
-            if config.mesh_file:
-                from .mesh.exodus import read_exodus
+        # --- mesh ("DM and Vector Setup" stage, elasticity.c:128-131) ----
+        with GLOBAL_LOG.stage("DM and Vector Setup"):
+            if mesh is None:
+                if config.mesh_file:
+                    from .mesh.exodus import read_exodus
 
-                mesh = read_exodus(config.mesh_file)
-            else:
-                mesh = box_mesh(config.box_faces, config.box_lower, config.box_upper)
-        self.mesh = mesh
+                    mesh = read_exodus(config.mesh_file)
+                else:
+                    mesh = box_mesh(config.box_faces, config.box_lower,
+                                    config.box_upper)
+            self.mesh = mesh
 
-        # --- FE spaces per level (coarse -> fine) ------------------------
-        self.level_degrees = config.level_degrees()
-        self.spaces: list[FESpace] = [
-            build_fespace(mesh, d) for d in self.level_degrees
-        ]
-        self.fine_space = self.spaces[-1]
+            # --- FE spaces per level (coarse -> fine) --------------------
+            self.level_degrees = config.level_degrees()
+            self.spaces: list[FESpace] = [
+                build_fespace(mesh, d) for d in self.level_degrees
+            ]
+            self.fine_space = self.spaces[-1]
 
-        # --- operators ---------------------------------------------------
+        # --- operators ("Operator Setup" stage, the libCEED Setup analog,
+        # elasticity.c:230-233) -------------------------------------------
+        self._setup_stage = GLOBAL_LOG.stage("Operator Setup")
+        self._setup_stage.__enter__()
         self.factory = OperatorFactory(self.spaces, qextra=config.qextra,
                                        dtype=self.dtype)
         self.qdata = self.factory.compute_qdata()
@@ -165,6 +174,11 @@ class ElasticityProblem:
                 self.spaces, qextra=config.qextra, dtype=self.dtype,
                 q1d=1 + config.qextra,
             )
+            # share restriction objects (identical index maps) with the
+            # full-quadrature factory so only one copy travels through jit
+            for plvl, flvl in zip(self.pfactory.levels, self.factory.levels):
+                plvl.restr = flvl.restr
+            self.pfactory.coord_restr = self.factory.coord_restr
             self.qdata_p = self.pfactory.compute_qdata()
             res_mu = self.factory.make_residual(self.model.residual_qf, self.phys)
             res_p = self.pfactory.make_residual(
@@ -175,31 +189,84 @@ class ElasticityProblem:
                 self.model.pressure_jacobian_qf, self.phys
             )
 
-            def _raw_residual(u, qdata):
-                r1, s1 = res_mu(u, qdata)
-                r2, s2 = res_p(u, self.qdata_p)
+            def _raw_residual(u, big):
+                r1, s1 = res_mu(u, big["qdata"], big["restrs"][-1])
+                r2, s2 = res_p(u, big["qdata_p"], big["restrs"][-1])
                 return r1 + r2, (s1, s2)
 
-            def _raw_jacobian(v, qdata, stash):
-                return jac_mu(v, qdata, stash[0]) + jac_p(
-                    v, self.qdata_p, stash[1]
+            def _raw_jacobian(v, big, stash, level=-1):
+                return jac_mu[level](v, big["qdata"], stash[0],
+                                     big["restrs"][level]) + jac_p[level](
+                    v, big["qdata_p"], stash[1], big["restrs"][level]
                 )
 
+            nlev = len(self.spaces)
+            jac_mu = [
+                self.factory.make_jacobian(self.model.jacobian_qf, self.phys,
+                                           level=l)
+                for l in range(nlev)
+            ]
+            jac_p = [
+                self.pfactory.make_jacobian(
+                    self.model.pressure_jacobian_qf, self.phys, level=l
+                )
+                for l in range(nlev)
+            ]
             self._raw_residual = _raw_residual
             self._raw_jacobian = _raw_jacobian
         else:
-            self._raw_residual = self.factory.make_residual(
+            nlev = len(self.spaces)
+            res_one = self.factory.make_residual(
                 self.model.residual_qf, self.phys
             )
-            self._raw_jacobian = self.factory.make_jacobian(
-                self.model.jacobian_qf, self.phys
-            )
-        self._energy = jax.jit(
-            self.factory.make_energy(self.model.energy_qf, self.phys)
+            jac_lvls = [
+                self.factory.make_jacobian(self.model.jacobian_qf, self.phys,
+                                           level=l)
+                for l in range(nlev)
+            ]
+
+            def _raw_residual(u, big):
+                return res_one(u, big["qdata"], big["restrs"][-1])
+
+            def _raw_jacobian(v, big, stash, level=-1):
+                return jac_lvls[level](v, big["qdata"], stash,
+                                       big["restrs"][level])
+
+            self._raw_residual = _raw_residual
+            self._raw_jacobian = _raw_jacobian
+
+        energy_fn = self.factory.make_energy(self.model.energy_qf, self.phys)
+        self._energy_j = jax.jit(
+            lambda u, big: energy_fn(u, big["qdata"], big["restrs"][-1])
         )
         self._diagnostic = None
+        # Everything O(nelem)/O(nnodes) travels through jit as arguments in
+        # this pytree -- baked-constant HLO payloads break remote compile.
+        self._big = {
+            "qdata": self.qdata,
+            "restrs": tuple(l.restr for l in self.factory.levels),
+        }
+        if self.composite:
+            self._big["qdata_p"] = self.qdata_p
         self.setup_time = time.perf_counter() - t0
-        self._build_solver()
+        self._setup_stage.__exit__(None, None, None)
+        with GLOBAL_LOG.stage("SNES Setup"):
+            self._build_solver()
+
+    # ------------------------------------------------------------------
+    # Public kernel wrappers (old signatures; big arrays threaded inside)
+    def _nonlinear_residual(self, u, bc_vals, F):
+        return self._nl_res_j(u, bc_vals, F, self._big)
+
+    def _jacobian_action(self, v, stash):
+        return self._jac_act_j(v, stash, self._big)
+
+    def _linear_solve(self, G, stash):
+        self._refresh_amg(stash)
+        return self._lin_solve_j(G, stash, self._big)
+
+    def _energy(self, u, qdata=None):
+        return self._energy_j(u, self._big)
 
     # ------------------------------------------------------------------
     def bc_values(self, load_increment: float) -> jnp.ndarray:
@@ -213,105 +280,171 @@ class ElasticityProblem:
     # ------------------------------------------------------------------
     def _build_solver(self):
         cfg = self.config
-        mask = self.bc_mask
 
-        def nonlinear_residual(u, bc_vals, F):
+        def nonlinear_residual_impl(u, bc_vals, F, big):
             """G(u) = R(u with BCs inserted) - F, zeroed at constrained DOFs
             (FormResidual_Ceed, matops.c:63-79)."""
+            mask = big["mask"]
             u_in = jnp.where(mask, bc_vals, u)
-            r, stash = self._raw_residual(u_in, self.qdata)
+            r, stash = self._raw_residual(u_in, big)
             return jnp.where(mask, 0.0, r - F), stash
 
-        def jacobian_action(v, stash):
+        def jacobian_action_impl(v, stash, big):
             """Zero-BC linearized action (ApplyJacobian_Ceed, matops.c:98-112)."""
+            mask = big["mask"]
             v_in = jnp.where(mask, 0.0, v)
-            jv = self._raw_jacobian(v_in, self.qdata, stash)
+            jv = self._raw_jacobian(v_in, big, stash)
             return jnp.where(mask, 0.0, jv)
 
-        self._nonlinear_residual = jax.jit(nonlinear_residual)
-        self._jacobian_action = jax.jit(jacobian_action)
+        self._nl_res_j = jax.jit(nonlinear_residual_impl)
+        self._jac_act_j = jax.jit(jacobian_action_impl)
+        self._big["mask"] = self.bc_mask
 
         # Smoother physics for diagonal assembly (-nu_smoother swap,
         # matops.c:215-232)
         diag_phys = self.phys_smoother or self.phys
+        nlev = len(self.spaces)
 
-        def make_level_diag(level):
-            """Composite-aware assembled diagonal at a level (E1d)."""
-            d_mu = self.factory.make_diagonal(
-                self.model.jacobian_qf, diag_phys, level=level
-            )
+        diag_mu = [
+            self.factory.make_diagonal(self.model.jacobian_qf, diag_phys,
+                                       level=l)
+            for l in range(nlev)
+        ]
+        if self.composite:
+            diag_p = [
+                self.pfactory.make_diagonal(
+                    self.model.pressure_jacobian_qf, diag_phys, level=l
+                )
+                for l in range(nlev)
+            ]
+
+        def level_diag(l, stash, big):
             if not self.composite:
-                return lambda stash: d_mu(self.qdata, stash)
-            d_p = self.pfactory.make_diagonal(
-                self.model.pressure_jacobian_qf, diag_phys, level=level
+                return diag_mu[l](big["qdata"], stash, big["restrs"][l])
+            return diag_mu[l](big["qdata"], stash[0], big["restrs"][l]) +                 diag_p[l](big["qdata_p"], stash[1], big["restrs"][l])
+
+        # --- AMG coarse machinery (E3e/E3f): assembled p=1 + native SA ---
+        self._use_amg = (
+            cfg.coarse_solve == "amg" and cfg.multigrid != "none"
+        )
+        if self._use_amg:
+            self._amg = AMGPreconditioner(self.dtype)
+            em_mu = make_element_matrices(
+                self.model.jacobian_qf, self.phys,
+                self.factory.levels[0].basis, self.dtype,
             )
-            return lambda stash: (
-                d_mu(self.qdata, stash[0]) + d_p(self.qdata_p, stash[1])
+            if self.composite:
+                em_p = make_element_matrices(
+                    self.model.pressure_jacobian_qf, self.phys,
+                    self.pfactory.levels[0].basis, self.dtype,
+                )
+                self._elem_mats0 = jax.jit(
+                    lambda stash, big: em_mu(big["qdata"], stash[0])
+                    + em_p(big["qdata_p"], stash[1])
+                )
+            else:
+                self._elem_mats0 = jax.jit(
+                    lambda stash, big: em_mu(big["qdata"], stash)
+                )
+            space0 = self.spaces[0]
+            self._assembler0 = CSRAssembler(
+                space0.conn, space0.num_nodes,
+                np.asarray(self._level_mask(space0)),
             )
 
-        def make_level_jacobian(level):
-            j_mu = self.factory.make_jacobian(
-                self.model.jacobian_qf, self.phys, level=level
-            )
-            if not self.composite:
-                return lambda v, stash: j_mu(v, self.qdata, stash)
-            j_p = self.pfactory.make_jacobian(
-                self.model.pressure_jacobian_qf, self.phys, level=level
-            )
-            return lambda v, stash: (
-                j_mu(v, self.qdata, stash[0]) + j_p(v, self.qdata_p, stash[1])
-            )
+            def amg_apply(b, coarse_data):
+                """(3, nn0) residual -> AMG V-cycle result (node-major flat
+                inside)."""
+                xf = self._amg.apply(b.T.reshape(-1), coarse_data)
+                return xf.reshape(-1, 3).T
+
+            self._amg_apply = amg_apply
+
+        def refresh_amg(stash):
+            """FormJacobian analog (misc.c:151-183): assemble the p=1
+            matrix analytically and refresh the native AMG hierarchy."""
+            if not self._use_amg:
+                return
+            if self._amg.handle is not None and not self.model.nonlinear:
+                return          # linear problem: hierarchy never changes
+            em = np.asarray(self._elem_mats0(stash, self._big))
+            A = self._assembler0.assemble(em)
+            self._amg.setup(A)
+            self._big["amg"] = self._amg.data
+
+        self._refresh_amg = refresh_amg
 
         use_mg = cfg.multigrid != "none" and len(self.spaces) > 1
         if not use_mg:
-            # Jacobi-preconditioned CG (elasticity.c:515-518)
-            diag_fn = make_level_diag(-1)
+            use_amg_pc = self._use_amg and cfg.multigrid != "none"
 
-            @jax.jit
-            def linear_solve_jacobi(G, stash):
-                d = jnp.where(mask, 1.0, diag_fn(stash))
+            def linear_solve_jacobi(G, stash, big):
+                """Jacobi CG (elasticity.c:515-518), or AMG-preconditioned
+                CG at degree 1 (PCGAMG, elasticity.c:519-521)."""
+                mask = big["mask"]
+                d = jnp.where(mask, 1.0, level_diag(-1, stash, big))
                 diag_inv = 1.0 / d
-                A = lambda v: jacobian_action(v, stash)       # noqa: E731
-                M = lambda r: diag_inv * r                    # noqa: E731
+                A = lambda v: jacobian_action_impl(v, stash, big)  # noqa: E731
+                if use_amg_pc:
+                    M = lambda r: jnp.where(                        # noqa: E731
+                        mask, 0.0, self._amg_apply(r, big["amg"]))
+                else:
+                    M = lambda r: diag_inv * r                      # noqa: E731
                 res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol,
                           maxiter=cfg.ksp_max_it)
                 return res.x, res.iters
 
-            self._linear_solve = linear_solve_jacobi
+            self._lin_solve_j = jax.jit(linear_solve_jacobi)
             return
 
         # ---- p-multigrid preconditioned CG (elasticity.c:524-590) -------
-        nlev = len(self.spaces)
-        level_masks = [self._level_mask(s) for s in self.spaces]
-        level_jac = [make_level_jacobian(l) for l in range(nlev)]
-        level_diag = [make_level_diag(l) for l in range(nlev)]
+        self._big["level_masks"] = tuple(
+            self._level_mask(s) for s in self.spaces
+        )
+        self._big["inv_mult"] = tuple(
+            self.factory.fine_inv_multiplicity(l) for l in range(1, nlev)
+        )
         transfers = [
             self.factory.make_prolongation(l - 1, l) for l in range(1, nlev)
         ]
-        mg_levels = []
-        for l in range(nlev):
-            lm = level_masks[l]
 
-            def lvl_apply(v, stash, l=l, lm=lm):
-                v = jnp.where(lm, 0.0, v)
-                jv = level_jac[l](v, stash)
-                return jnp.where(lm, 0.0, jv)
+        def build_mg_levels(stash, big):
+            mg_levels = []
+            for l in range(nlev):
+                lm = big["level_masks"][l]
 
-            prolong, restrict = (None, None) if l == 0 else transfers[l - 1]
-            mg_levels.append(
-                MGLevel(apply=lvl_apply, mask=lm, prolong=prolong,
-                        restrict=restrict)
-            )
-        vcycle = make_vcycle(mg_levels, smooth_its=cfg.smooth_its)
-        self._mg_levels = mg_levels
+                def lvl_apply(v, stash_, l=l, lm=lm):
+                    v = jnp.where(lm, 0.0, v)
+                    jv = self._raw_jacobian(v, big, stash_, level=l)
+                    return jnp.where(lm, 0.0, jv)
 
-        @jax.jit
-        def linear_solve_mg(G, stash):
+                if l == 0:
+                    prolong = restrict = None
+                else:
+                    pro, res = transfers[l - 1]
+                    rc, rf = big["restrs"][l - 1], big["restrs"][l]
+                    im = big["inv_mult"][l - 1]
+                    prolong = lambda uc, pro=pro, rc=rc, rf=rf, im=im: pro(
+                        uc, rc, rf, im)
+                    restrict = lambda uf, res=res, rc=rc, rf=rf, im=im: res(
+                        uf, rc, rf, im)
+                mg_levels.append(
+                    MGLevel(apply=lvl_apply, mask=lm, prolong=prolong,
+                            restrict=restrict)
+                )
+            return mg_levels
+
+        def linear_solve_mg(G, stash, big):
+            mg_levels = build_mg_levels(stash, big)
+            coarse_apply = self._amg_apply if self._use_amg else None
+            vcycle = make_vcycle(mg_levels, smooth_its=cfg.smooth_its,
+                                 coarse_apply=coarse_apply)
+            coarse_data = big.get("amg") if self._use_amg else None
             diag_invs = []
             bounds = []
             for l in range(nlev):
-                d = jnp.where(level_masks[l], 1.0,
-                              level_diag[l](stash))
+                d = jnp.where(big["level_masks"][l], 1.0,
+                              level_diag(l, stash, big))
                 dinv = 1.0 / d
                 diag_invs.append(dinv)
                 lo, hi = estimate_extreme_eigs(
@@ -320,11 +453,12 @@ class ElasticityProblem:
                 )
                 bounds.append((lo, hi))
             A = lambda v: mg_levels[-1].apply(v, stash)   # noqa: E731
-            M = lambda r: vcycle(r, stash, diag_invs, bounds)  # noqa: E731
+            M = lambda r: vcycle(r, stash, diag_invs, bounds,   # noqa: E731
+                                 coarse_data)
             res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol, maxiter=cfg.ksp_max_it)
             return res.x, res.iters
 
-        self._linear_solve = linear_solve_mg
+        self._lin_solve_j = jax.jit(linear_solve_mg)
 
     def _level_mask(self, space: FESpace) -> jnp.ndarray:
         """Constrained-DOF mask for a level's space (same BC face sets)."""
@@ -340,6 +474,10 @@ class ElasticityProblem:
     # ------------------------------------------------------------------
     def solve(self, monitor=None) -> "SolveInfo":
         """Load-increment continuation loop (elasticity.c:636-673)."""
+        with GLOBAL_LOG.stage("SNES Solve"):
+            return self._solve_impl(monitor)
+
+    def _solve_impl(self, monitor=None) -> "SolveInfo":
         cfg = self.config
         u = jnp.zeros((3, self.fine_space.num_nodes), self.dtype)
         total_snes = total_ksp = 0
@@ -399,10 +537,11 @@ class ElasticityProblem:
     def diagnostics(self, u: jnp.ndarray) -> jnp.ndarray:
         """(nnodes, 8) nodal diagnostic fields (misc.c:217-311)."""
         if self._diagnostic is None:
-            self._diagnostic = jax.jit(
-                self.factory.make_diagnostic(self.model.diagnostic_qf, self.phys)
-            )
-        return self._diagnostic(u)
+            fn = self.factory.make_diagnostic(self.model.diagnostic_qf, self.phys)
+            self._diag_setup = self.factory.diagnostic_setup()
+            self._diagnostic = jax.jit(fn)
+        qd_coll, mult = self._diag_setup
+        return self._diagnostic(u, self._big["restrs"][-1], qd_coll, mult)
 
 
 @dataclass

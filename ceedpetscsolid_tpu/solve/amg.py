@@ -1,0 +1,174 @@
+"""Device-side AMG V-cycle over a natively-built hierarchy (E3e).
+
+The C++ library (csrc/amg.cpp) performs smoothed-aggregation SETUP on the
+assembled p=1 matrix — the GAMG-equivalent of the reference's coarse solve
+(elasticity.c:568-585) and of its whole preconditioner at degree 1
+(elasticity.c:519-521). This module converts the hierarchy to padded-ELL
+device arrays and applies ONE V-cycle entirely inside jit (a fixed linear
+operation — a valid stationary preconditioner for the outer CG).
+
+After the first setup the hierarchy STRUCTURE is frozen; subsequent Newton
+iterations only refresh matrix values (amg_refresh), so all device shapes
+stay static and nothing recompiles.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def _csr_to_ell(n, rowptr, colind, vals, dtype):
+    counts = np.diff(rowptr)
+    K = int(counts.max(initial=1))
+    idx = np.zeros((n, K), dtype=np.int32)
+    v = np.zeros((n, K), dtype=np.float64)
+    for k in range(K):
+        rows = np.nonzero(counts > k)[0]
+        idx[rows, k] = colind[rowptr[rows] + k]
+        v[rows, k] = vals[rowptr[rows] + k]
+    return jnp.asarray(idx), jnp.asarray(v, dtype)
+
+
+def ell_matvec(idx, vals, x):
+    """y[i] = sum_k vals[i,k] * x[idx[i,k]] (padding: val 0 at col 0)."""
+    return jnp.sum(vals * jnp.take(x, idx, axis=0), axis=1)
+
+
+class AMGPreconditioner:
+    """Owns the native hierarchy handle + device ELL arrays."""
+
+    def __init__(self, dtype, theta: float = 0.0, max_levels: int = 10,
+                 coarse_size: int = 600, smooth_its: int = 2):
+        self.dtype = dtype
+        self.theta = theta
+        self.max_levels = max_levels
+        self.coarse_size = coarse_size
+        self.smooth_its = smooth_its
+        self.handle = None
+        self._pattern = None
+        self.data = None          # pytree of device arrays
+
+    # -- host-side setup/refresh ----------------------------------------
+    def setup(self, A: sp.csr_matrix):
+        from ..native import lib
+
+        L = lib()
+        A = A.tocsr()
+        A.sort_indices()
+        n = A.shape[0]
+        rowptr = A.indptr.astype(np.int64)
+        colind = A.indices.astype(np.int32)
+        vals = A.data.astype(np.float64)
+        if self.handle is not None and not (
+            np.array_equal(self._pattern[0], rowptr)
+            and np.array_equal(self._pattern[1], colind)
+        ):
+            # pattern changed (should not happen with CSRAssembler) --
+            # rebuild from scratch rather than corrupt the hierarchy
+            L.amg_free(self.handle)
+            self.handle = None
+        if self.handle is None:
+            self.handle = ctypes.c_void_p(L.amg_setup(
+                n, np.int64(vals.size), rowptr, colind, vals,
+                float(self.theta), int(self.max_levels), int(self.coarse_size),
+            ))
+            self._pattern = (rowptr, colind)
+        else:
+            L.amg_refresh(self.handle, vals)
+        self._extract(L)
+
+    def _extract(self, L):
+        h = self.handle
+        nlev = L.amg_num_levels(h)
+        levels = []
+        for l in range(nlev):
+            dims = np.zeros(4, np.int64)
+            L.amg_level_dims(h, l, dims)
+            n, annz, pnnz, pcols = (int(d) for d in dims)
+            rowptr = np.zeros(n + 1, np.int64)
+            colind = np.zeros(max(annz, 1), np.int32)
+            vals = np.zeros(max(annz, 1), np.float64)
+            diag = np.zeros(n, np.float64)
+            lam = np.zeros(1, np.float64)
+            L.amg_get_matrix(h, l, rowptr, colind, vals, diag, lam)
+            a_idx, a_val = _csr_to_ell(n, rowptr, colind, vals, self.dtype)
+            entry = {
+                "n": n,
+                "a_idx": a_idx, "a_val": a_val,
+                "dinv": jnp.asarray(
+                    np.where(diag != 0, 1.0 / np.where(diag == 0, 1, diag), 1.0),
+                    self.dtype),
+                "lam": jnp.asarray(float(lam[0]), self.dtype),
+            }
+            if l < nlev - 1 and pnnz > 0:
+                prow = np.zeros(n + 1, np.int64)
+                pcol = np.zeros(pnnz, np.int32)
+                pval = np.zeros(pnnz, np.float64)
+                L.amg_get_prolongator(h, l, prow, pcol, pval)
+                P = sp.csr_matrix(
+                    (pval, pcol, prow), shape=(n, pcols)
+                )
+                entry["p_idx"], entry["p_val"] = _csr_to_ell(
+                    n, P.indptr.astype(np.int64), P.indices, P.data, self.dtype
+                )
+                PT = P.T.tocsr()
+                PT.sort_indices()
+                entry["pt_idx"], entry["pt_val"] = _csr_to_ell(
+                    pcols, PT.indptr.astype(np.int64), PT.indices, PT.data,
+                    self.dtype,
+                )
+            levels.append(entry)
+        nc = levels[-1]["n"]
+        dense = np.zeros(nc * nc, np.float64)
+        L.amg_coarse_dense(h, dense)
+        coarse_inv = np.linalg.pinv(dense.reshape(nc, nc))
+        for e in levels:
+            e.pop("n")          # keep the pytree numeric-leaf only
+        self.data = {"levels": levels,
+                     "coarse_inv": jnp.asarray(coarse_inv, self.dtype)}
+
+    # -- device-side application (jit-traceable) -------------------------
+    def apply(self, r_flat, data):
+        """One V-cycle on a flat (3N,) node-major residual vector."""
+        sm = self.smooth_its
+        levels = data["levels"]
+        nlev = len(levels)
+
+        def smooth(lv, b, x):
+            # Chebyshev on [0.1, 1.1]*lam of D^{-1}A (matching the p-MG
+            # smoother bounds, elasticity.c:540)
+            lam = lv["lam"]
+            lo, hi = 0.1 * lam, 1.1 * lam
+            theta = 0.5 * (hi + lo)
+            delta = 0.5 * (hi - lo)
+            sigma1 = theta / delta
+            rho = 1.0 / sigma1
+            r = b - ell_matvec(lv["a_idx"], lv["a_val"], x)
+            d = (lv["dinv"] * r) / theta
+            x = x + d
+            for _ in range(sm - 1):
+                r = b - ell_matvec(lv["a_idx"], lv["a_val"], x)
+                rho_new = 1.0 / (2.0 * sigma1 - rho)
+                d = rho_new * rho * d + (2.0 * rho_new / delta) * (lv["dinv"] * r)
+                rho = rho_new
+                x = x + d
+            return x
+
+        bs = [None] * nlev
+        xs = [None] * nlev
+        bs[0] = r_flat
+        for l in range(nlev - 1):
+            lv = levels[l]
+            xs[l] = smooth(lv, bs[l], jnp.zeros_like(bs[l]))
+            r = bs[l] - ell_matvec(lv["a_idx"], lv["a_val"], xs[l])
+            bs[l + 1] = ell_matvec(lv["pt_idx"], lv["pt_val"], r)
+        xs[nlev - 1] = data["coarse_inv"] @ bs[nlev - 1]
+        for l in range(nlev - 2, -1, -1):
+            lv = levels[l]
+            x = xs[l] + ell_matvec(lv["p_idx"], lv["p_val"], xs[l + 1])
+            xs[l] = smooth(lv, bs[l], x)
+        return xs[0]

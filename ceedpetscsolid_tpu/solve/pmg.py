@@ -37,15 +37,20 @@ def make_vcycle(
     levels: list[MGLevel],
     smooth_its: int = 3,
     coarse_cheb_its: int = 30,
+    coarse_apply=None,
 ):
-    """Returns vcycle(b, stash, diag_invs, bounds) -> approx A_fine^{-1} b.
+    """Returns vcycle(b, stash, diag_invs, bounds, coarse_data) ->
+    approx A_fine^{-1} b.
 
-    diag_invs: list of (nnodes_l, 3) inverse diagonals per level.
+    diag_invs: list of (3, nnodes_l) inverse diagonals per level.
     bounds: list of (lam_min, lam_max) Chebyshev intervals per level.
+    coarse_apply: optional (b0, coarse_data) -> x0 coarse solver (e.g. the
+    AMG V-cycle of solve/amg.py, the GAMG analog); defaults to a heavy
+    Chebyshev polynomial at p=1.
     """
     nlev = len(levels)
 
-    def vcycle(b, stash, diag_invs, bounds):
+    def vcycle(b, stash, diag_invs, bounds, coarse_data=None):
         bs = [None] * nlev
         xs = [None] * nlev
         bs[-1] = b
@@ -58,10 +63,16 @@ def make_vcycle(
             r = bs[l] - A(xs[l])
             bc = lvl.restrict(r)
             bs[l - 1] = jnp.where(levels[l - 1].mask, 0.0, bc)
-        # coarse solve: heavy Chebyshev at p=1
-        A0 = lambda v: levels[0].apply(v, stash)  # noqa: E731
-        lo0, hi0 = bounds[0]
-        xs[0] = chebyshev(A0, bs[0], diag_invs[0], lo0, hi0, coarse_cheb_its)
+        # coarse solve (elasticity.c:568-585): AMG if provided, else heavy
+        # Chebyshev at p=1
+        if coarse_apply is not None:
+            xs[0] = coarse_apply(bs[0], coarse_data)
+            xs[0] = jnp.where(levels[0].mask, 0.0, xs[0])
+        else:
+            A0 = lambda v: levels[0].apply(v, stash)  # noqa: E731
+            lo0, hi0 = bounds[0]
+            xs[0] = chebyshev(A0, bs[0], diag_invs[0], lo0, hi0,
+                              coarse_cheb_its)
         # upward: prolong + post-smooth
         for l in range(1, nlev):
             lvl = levels[l]
