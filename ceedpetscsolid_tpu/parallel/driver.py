@@ -1,62 +1,68 @@
-"""Distributed Newton/CG driver over a 1-D device mesh.
+"""Distributed Newton driver over a 1-D device mesh.
 
 Mirrors the serial solve path of problem.py but executes every operator
 application under shard_map with halo exchange (parallel/dist.py), the
 SPMD analog of the reference's rank-per-subdomain MPI execution
-(SURVEY "Parallelism strategies"). One Newton iteration — residual,
-Jacobi-preconditioned CG, critical-point line search, update — is a single
-jitted SPMD computation: the "training step" of this framework.
+(SURVEY "Parallelism strategies"). One Newton iteration — residual, CG with
+Jacobi or full p-multigrid(+replicated AMG coarse) preconditioning,
+critical-point line search, update — is a single jitted SPMD computation:
+the "training step" of this framework.
+
+Every mesh-sized array travels as a jit argument (sharded pytrees), so
+compiled modules stay small and shapes stay static across Newton steps.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.basis import Basis3D
-from . import dist
+from . import dist, mg as dmg
 from .dist import AXIS, ShardArrays
-from .partition import SpacePartition, partition_space, scatter_global_to_owned
-
-
-def _pad_elements(arr: np.ndarray, part: SpacePartition) -> np.ndarray:
-    """(nelem, ...) -> (ndev, nelem_max, ...) zero-padded element data."""
-    nelem = arr.shape[0]
-    out = np.zeros((part.ndev * part.nelem_max,) + arr.shape[1:], arr.dtype)
-    out[:nelem] = arr
-    return out.reshape((part.ndev, part.nelem_max) + arr.shape[1:])
+from .partition import (
+    SpacePartition,
+    gather_owned_to_global,
+    partition_space,
+    scatter_global_to_owned,
+)
 
 
 @dataclass
 class DistributedProblem:
-    """Distributes an ElasticityProblem's fine level over ndev devices."""
+    """Distributes an ElasticityProblem over ndev devices.
+
+    use_mg: p-multigrid-preconditioned CG inside the SPMD step (requires the
+    problem to be configured with multigrid != 'none' and a single-operator
+    model; composite models fall back to Jacobi).
+    """
 
     problem: "ElasticityProblem"  # noqa: F821
     ndev: int
     devices: list | None = None
+    use_mg: bool | None = None
 
     def __post_init__(self):
         prob = self.problem
         fes = prob.fine_space
+        if self.use_mg is None:
+            self.use_mg = (
+                prob.config.multigrid != "none"
+                and len(prob.spaces) > 1
+                and not prob.composite
+            )
         self.part = partition_space(fes.conn, fes.num_nodes, self.ndev)
         self.sa = ShardArrays.from_partition(self.part)
-        self.basis = prob.factory.fine.basis
         self.model = prob.model
         self.phys = prob.phys
         self.dtype = prob.dtype
 
         # qdata (10, nelem, Q3) -> (ndev, 10, nelem_max, Q3), zero padding
         qd = np.asarray(prob.qdata)
-        nq, nelem, Q3 = qd.shape
-        qd_pad = np.zeros((nq, self.part.ndev * self.part.nelem_max, Q3), qd.dtype)
-        qd_pad[:, :nelem] = qd
-        qd_pad = qd_pad.reshape(nq, self.part.ndev, self.part.nelem_max, Q3)
-        self.qdata_sh = jnp.asarray(np.moveaxis(qd_pad, 1, 0))
+        self.qdata_sh = jnp.asarray(self._pad_qdata(qd))
 
         self.mask_sh = jnp.asarray(
             scatter_global_to_owned(self.part, np.asarray(prob.bc_mask))
@@ -66,8 +72,31 @@ class DistributedProblem:
         )
 
         devs = self.devices or jax.devices()[: self.ndev]
+        if len(devs) != self.ndev:
+            raise ValueError(
+                f"need {self.ndev} devices for ndev={self.ndev}, "
+                f"have {len(devs)} (set xla_force_host_platform_device_count)"
+            )
         self.mesh = Mesh(np.array(devs), (AXIS,))
+
+        if self.use_mg:
+            self.levels = dmg.build_dist_levels(prob, self.part, self.ndev)
+            self.level_arrays = tuple(
+                {"sa": l.sa, "mask": l.mask, "owned_gid": l.owned_gid}
+                for l in self.levels
+            )
+            # AMG coarse hierarchy: assembled once host-side at u=0 state;
+            # refreshed by refresh_amg() per Newton step for nonlinear runs
+            self._amg = None
         self._build_step()
+
+    def _pad_qdata(self, qd):
+        nq, nelem, Q3 = qd.shape
+        out = np.zeros((nq, self.part.ndev * self.part.nelem_max, Q3), qd.dtype)
+        out[:, :nelem] = qd
+        return np.moveaxis(
+            out.reshape(nq, self.part.ndev, self.part.nelem_max, Q3), 1, 0
+        )
 
     # -- host-side converters ------------------------------------------
     def to_owned(self, u_global: np.ndarray) -> jnp.ndarray:
@@ -77,32 +106,59 @@ class DistributedProblem:
         )
 
     def to_global(self, owned) -> np.ndarray:
-        from .partition import gather_owned_to_global
-
         return gather_owned_to_global(self.part, np.asarray(owned))
+
+    # ------------------------------------------------------------------
+    def refresh_amg(self, stash_host=None):
+        """Assemble the p=1 matrix and (re)build the native AMG hierarchy
+        used as the replicated coarse solve. Host-side, once per Newton
+        iteration for nonlinear models (FormJacobian analog)."""
+        from ..ops.assembly import CSRAssembler, make_element_matrices
+        from ..solve.amg import AMGPreconditioner
+
+        prob = self.problem
+        space0 = prob.spaces[0]
+        if self._amg is None:
+            self._assembler0 = CSRAssembler(
+                space0.conn, space0.num_nodes,
+                np.asarray(prob._level_mask(space0)),
+            )
+            self._amg = AMGPreconditioner(self.dtype)
+            self._emfn = jax.jit(
+                lambda stash, qdata: make_element_matrices(
+                    self.model.jacobian_qf, self.phys,
+                    prob.factory.levels[0].basis, self.dtype,
+                )(qdata, stash)
+            )
+        stash = stash_host
+        em = np.asarray(self._emfn(stash, prob.qdata))
+        self._amg.setup(self._assembler0.assemble(em))
+        return self._amg.data
 
     # ------------------------------------------------------------------
     def _build_step(self):
         sa = self.sa
-        basis = self.basis
+        prob = self.problem
         model = self.model
         phys = self.phys
-        ksp_rtol = self.problem.config.ksp_rtol
-        ksp_max_it = min(self.problem.config.ksp_max_it, 10_000)
+        cfg = prob.config
+        ksp_rtol = cfg.ksp_rtol or 1e-10
+        ksp_max_it = min(cfg.ksp_max_it, 10_000)
+        fine_basis = prob.factory.fine.basis
+        use_mg = self.use_mg
 
         def elem_residual(ue, qdata):
-            du = basis.apply_grad(ue)
+            du = fine_basis.apply_grad(ue)
             dv, stash = model.residual_qf(du, qdata, phys)
-            return basis.apply_grad_T(dv), stash
+            return fine_basis.apply_grad_T(dv), stash
 
-        def elem_jacobian(due, qdata, stash):
-            ddu = basis.apply_grad(due)
+        def elem_jacobian(ue, qdata, stash, basis):
+            ddu = basis.apply_grad(ue)
             ddv = model.jacobian_qf(ddu, qdata, stash, phys)
             return basis.apply_grad_T(ddv)
 
-        BB = jnp.einsum("aqp,bqp->qpab", basis.grad, basis.grad)
-
-        def elem_diagonal(qdata, stash):
+        def elem_diagonal(qdata, stash, basis):
+            BB = jnp.einsum("aqp,bqp->qpab", basis.grad, basis.grad)
             nelem, Q3 = qdata.shape[1], qdata.shape[2]
             diag_e = jnp.zeros((3, nelem, basis.P3), self.dtype)
             for c2 in range(3):
@@ -110,14 +166,16 @@ class DistributedProblem:
                     du = jnp.zeros((3, 3, nelem, Q3), self.dtype)
                     du = du.at[c2, d2].set(1.0)
                     ddv = model.jacobian_qf(du, qdata, stash, phys)
-                    Krow = ddv[c2]
-                    contrib = jnp.einsum("qpa,aeq->ep", BB[..., d2], Krow)
+                    contrib = jnp.einsum("qpa,aeq->ep", BB[..., d2], ddv[c2])
                     diag_e = diag_e.at[c2].add(contrib)
             return diag_e
 
-        def body(u, bc_vals, F, mask, qdata, sa):
-            """shard_map body: one Newton iteration. Per-shard blocks carry a
-            leading axis of 1; qdata/mask/... are (1, ...) views."""
+        if use_mg:
+            levels_static = self.levels
+            nlev = len(levels_static)
+            amg_obj = None  # bound lazily in body via self._amg
+
+        def body(u, bc_vals, F, mask, qdata, sa, lvls, amg_data):
             qd = qdata[0]
             msk = mask
 
@@ -134,26 +192,131 @@ class DistributedProblem:
                 v_in = jnp.where(msk, 0.0, v)
                 local = dist.g2l(v_in, sa)
                 ue = dist.gather_elements(local, sa)
-                ve = elem_jacobian(ue, qd, stash)
+                ve = elem_jacobian(ue, qd, stash, fine_basis)
                 acc = dist.scatter_elements(ve, sa)
                 jv = dist.l2g_add(acc, sa)
                 return jnp.where(msk, 0.0, jv)
 
             G, stash = residual(u)
 
-            # Jacobi diagonal (distributed assembly)
-            diag_e = elem_diagonal(qd, stash)
-            dacc = dist.scatter_elements(diag_e, sa)
-            diag = dist.l2g_add(dacc, sa)
-            diag = jnp.where(msk, 1.0, diag)
-            diag = jnp.where(diag == 0.0, 1.0, diag)   # padded owned slots
-            dinv = 1.0 / diag
+            if not use_mg:
+                diag_e = elem_diagonal(qd, stash, fine_basis)
+                dacc = dist.scatter_elements(diag_e, sa)
+                diag = dist.l2g_add(dacc, sa)
+                diag = jnp.where(msk, 1.0, diag)
+                diag = jnp.where(diag == 0.0, 1.0, diag)
+                dinv = 1.0 / diag
+                M = lambda r: dinv * r            # noqa: E731
+            else:
+                # --- per-level distributed machinery -------------------
+                def make_lvl_apply(l):
+                    basis = levels_static[l].basis
+
+                    def A(v, lv=lvls[l]):
+                        v_in = jnp.where(dist._blk(lv["mask"]), 0.0,
+                                         dist._blk(v))[None]
+                        local = dist.g2l(v_in, lv["sa"])
+                        ue = dist.gather_elements(local, lv["sa"])
+                        ve = elem_jacobian(ue, qd, stash, basis)
+                        acc = dist.scatter_elements(ve, lv["sa"])
+                        jv = dist.l2g_add(acc, lv["sa"])
+                        return jnp.where(lv["mask"], 0.0, jv)
+
+                    return A
+
+                lvl_apply = [make_lvl_apply(l) for l in range(nlev)]
+                dinvs, bounds, inv_mults = [], [], [None]
+                for l in range(nlev):
+                    lv = lvls[l]
+                    basis = levels_static[l].basis
+                    diag_e = elem_diagonal(qd, stash, basis)
+                    dacc = dist.scatter_elements(diag_e, lv["sa"])
+                    diag = dist.l2g_add(dacc, lv["sa"])
+                    diag = jnp.where(lv["mask"], 1.0, diag)
+                    diag = jnp.where(diag == 0.0, 1.0, diag)
+                    dinvs.append(1.0 / diag)
+                    valid = (~dist._blk(lv["mask"]))[None] & \
+                        dist._blk(lv["sa"].owned_valid)[None, None, :]
+                    lo, hi = dmg.estimate_eigs_dist(
+                        lvl_apply[l], dinvs[l], diag.shape, diag.dtype,
+                        valid=valid,
+                    )
+                    bounds.append((lo, hi))
+                    if l > 0:
+                        ones = jnp.ones(
+                            (3,) + tuple(dist._blk(lv["sa"].conn_local).shape),
+                            self.dtype,
+                        )
+                        acc = dist.scatter_elements(ones, lv["sa"])
+                        mult = dist.l2g_add(acc, lv["sa"])
+                        inv_mults.append(
+                            1.0 / jnp.where(mult == 0, 1.0, mult)
+                        )
+
+                def prolong_l(l, uc):
+                    c2f = levels_static[l].c2f
+                    local_c = dist.g2l(uc, lvls[l - 1]["sa"])
+                    ue = dist.gather_elements(local_c, lvls[l - 1]["sa"])
+                    fe = c2f.apply_interp(ue)
+                    acc = dist.scatter_elements(fe, lvls[l]["sa"])
+                    out = dist.l2g_add(acc, lvls[l]["sa"]) * inv_mults[l]
+                    return jnp.where(lvls[l]["mask"], 0.0, out)
+
+                def restrict_l(l, uf):
+                    c2f = levels_static[l].c2f
+                    local_f = dist.g2l(uf * inv_mults[l], lvls[l]["sa"])
+                    fe = dist.gather_elements(local_f, lvls[l]["sa"])
+                    ce = c2f.apply_interp_T(fe)
+                    acc = dist.scatter_elements(ce, lvls[l - 1]["sa"])
+                    out = dist.l2g_add(acc, lvls[l - 1]["sa"])
+                    return jnp.where(lvls[l - 1]["mask"], 0.0, out)
+
+                def coarse_solve(b0):
+                    if amg_data is None:
+                        return dmg.chebyshev_dist(
+                            lvl_apply[0], b0, dinvs[0],
+                            bounds[0][0], bounds[0][1], 30,
+                        )
+                    g = dmg.owned_to_replicated_global(
+                        b0, lvls[0]["owned_gid"],
+                        levels_static[0].num_nodes,
+                    )
+                    xf = self._amg.apply(g.T.reshape(-1), amg_data)
+                    xg = xf.reshape(-1, 3).T
+                    out = dmg.replicated_global_to_owned(
+                        xg, lvls[0]["owned_gid"]
+                    )
+                    return jnp.where(lvls[0]["mask"], 0.0, out)
+
+                def vcycle(bf):
+                    bs = [None] * nlev
+                    xs = [None] * nlev
+                    bs[-1] = bf
+                    for l in range(nlev - 1, 0, -1):
+                        xs[l] = dmg.chebyshev_dist(
+                            lvl_apply[l], bs[l], dinvs[l],
+                            bounds[l][0], bounds[l][1], cfg.smooth_its,
+                        )
+                        r = bs[l] - lvl_apply[l](xs[l])
+                        bs[l - 1] = restrict_l(l, r)
+                    xs[0] = coarse_solve(bs[0])
+                    for l in range(1, nlev):
+                        x = xs[l] + prolong_l(l, xs[l - 1])
+                        r = bs[l] - lvl_apply[l](x)
+                        dx = dmg.chebyshev_dist(
+                            lvl_apply[l], r, dinvs[l],
+                            bounds[l][0], bounds[l][1], cfg.smooth_its,
+                        )
+                        xs[l] = x + dx
+                    return xs[-1]
+
+                M = vcycle
 
             # --- PCG (natural norm, distributed dots) ------------------
             b = -G
             x = jnp.zeros_like(b)
             r = b
-            z = dinv * r
+            z = M(r)
             rz = dist.ddot(r, z)
             tol = jnp.sqrt(jnp.abs(rz)) * ksp_rtol
 
@@ -167,13 +330,13 @@ class DistributedProblem:
                 alpha = rz / dist.ddot(p, Ap)
                 x = x + alpha * p
                 r = r - alpha * Ap
-                z = dinv * r
+                z = M(r)
                 rz2 = dist.ddot(r, z)
                 p = z + (rz2 / rz) * p
                 return (x, r, z, p, rz2, it + 1)
 
             x, r, z, p, rz, iters = jax.lax.while_loop(
-                cond, bodyf, (x, r, z, r * 0 + z, rz, jnp.int32(0))
+                cond, bodyf, (x, r, z, z, rz, jnp.int32(0))
             )
             d = x
 
@@ -192,38 +355,50 @@ class DistributedProblem:
             return u_new, rnorm_in, rnorm, iters
 
         spec = P(AXIS)
+        lvls_spec = spec if self.use_mg else None
+        in_specs = (spec, spec, spec, spec, spec, spec, lvls_spec, P())
         self._step = jax.jit(
             jax.shard_map(
                 body,
                 mesh=self.mesh,
-                in_specs=(spec, spec, spec, spec, spec, spec),
+                in_specs=in_specs,
                 out_specs=(spec, P(), P(), P()),
             )
         )
 
     # ------------------------------------------------------------------
-    def newton_step(self, u_owned, load_increment: float):
-        bc = self.to_owned(self.problem.bcs.values(
-            self.problem._coords, load_increment
+    def newton_step(self, u_owned, load_increment: float, stash_for_amg=None,
+                    amg_data=None):
+        prob = self.problem
+        bc = self.to_owned(prob.bcs.values(
+            prob._coords, load_increment
         ).T.astype(np.asarray(u_owned).dtype))
         F = self.F_sh * load_increment
-        return self._step(u_owned, bc, F, self.mask_sh, self.qdata_sh, self.sa)
+        lvls = self.level_arrays if self.use_mg else None
+        return self._step(u_owned, bc, F, self.mask_sh, self.qdata_sh,
+                          self.sa, lvls, amg_data)
 
     def solve(self, num_increments=None, max_newton=50, rtol=1e-8):
         """Full load-continuation solve; returns (u_global, info dict)."""
         cfg = self.problem.config
         n_inc = num_increments or cfg.num_increments
-        u = self.to_owned(
-            np.zeros((3, self.problem.fine_space.num_nodes))
-        )
+        u = self.to_owned(np.zeros((3, self.problem.fine_space.num_nodes)))
         total_ksp = 0
         total_newton = 0
         rnorm = None
+        amg_data = None
         for inc in range(1, n_inc + 1):
             load = inc / n_inc
             rnorm_entry0 = None
             for _ in range(max_newton):
-                u, rnorm_in, rnorm, iters = self.newton_step(u, load)
+                if self.use_mg:
+                    # FormJacobian analog: refresh the replicated AMG coarse
+                    # hierarchy from the current state before the solve
+                    stash = self._host_stash(u, load)
+                    amg_data = self.refresh_amg(stash)
+                u, rnorm_in, rnorm, iters = self.newton_step(
+                    u, load, amg_data=amg_data
+                )
                 total_ksp += int(iters)
                 total_newton += 1
                 if rnorm_entry0 is None:
@@ -240,3 +415,12 @@ class DistributedProblem:
             "ksp_iters": total_ksp,
             "rnorm": float(rnorm),
         }
+
+    def _host_stash(self, u_owned, load):
+        """Recompute the fine-quadrature stash on the host-global problem
+        (for the AMG element matrices)."""
+        prob = self.problem
+        u_glob = jnp.asarray(self.to_global(u_owned), prob.dtype)
+        bc = prob.bc_values(load)
+        _, stash = prob._nonlinear_residual(u_glob, bc, prob.F * load)
+        return stash

@@ -48,3 +48,21 @@ def test_distributed_matches_serial(ndev):
     dp = DistributedProblem(prob, ndev=ndev)
     u, dinfo = dp.solve()
     assert np.abs(u - np.asarray(info.u)).max() < 1e-12   # both (3, nnodes)
+
+
+def test_distributed_mg_matches_serial():
+    """Full p-MG + replicated AMG coarse inside the SPMD step."""
+    from ceedpetscsolid_tpu.parallel.driver import DistributedProblem
+    from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = Config(problem="linElas", degree=3, nu=0.3, E=1.0, test_mode=True,
+                 box_faces=(3, 3, 3), multigrid="logarithmic")
+    prob = ElasticityProblem(cfg)
+    info = prob.solve()
+    dp = DistributedProblem(prob, ndev=8)
+    assert dp.use_mg
+    u, dinfo = dp.solve()
+    assert dinfo["ksp_iters"] <= info.ksp_iters + 2
+    assert np.abs(u - np.asarray(info.u)).max() < 1e-12
