@@ -2,11 +2,12 @@
 
 Kernels are pure functions over quadrature-point batches, the vectorized
 analog of libCEED QFunctions' loops. TPU-first data layout: every 3x3
-tensor field is stored COMPONENT-MAJOR as an array of shape
-(3, 3, *batch) — nine (nelem, Q3) "planes" — so each elementwise op runs
-over the long batch dims in the minor-most (lane) axis at full VPU
-utilization. (A (batch, 3, 3) layout would pad the trailing 3 up to the
-128-lane tile: a 42x waste, measured 8-10x slower end-to-end.)
+tensor field is a `Mat3` — a tuple of nine independent "planes" (arbitrary
+equal batch shapes, typically (nelem, Q3)) — so each elementwise op runs
+over long batch dims in the minor-most (lane) axis at full VPU utilization,
+and planes can be arbitrary VIEWS (e.g. column slices of a single
+(nelem, 9*Q3) GEMM output) without ever materializing a 4D tensor or a
+transpose.
 
 Conventions (matching qfunctions/*.h of the reference):
 
@@ -26,6 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 
@@ -55,54 +57,98 @@ class Physics:
 
 
 # ---------------------------------------------------------------------------
-# Component-major 3x3 "plane" algebra: arrays shaped (3, 3, *batch).
-# Contractions over the leading 3x3 unroll into 27 fused multiply-adds on
-# full-lane (nelem, Q3) planes; no einsum over tiny trailing axes.
+# Mat3: a 3x3 tensor of batch planes. Registered as a pytree so it flows
+# through jit/scan/vjp boundaries (e.g. as the stashed gradu between the
+# residual and Jacobian operators, reference src/setuplibceed.c:837-839).
+# Contractions over the 3x3 unroll into 27 fused multiply-adds on full-lane
+# planes; no einsum over tiny axes, no (batch, 3, 3) padding waste.
 # ---------------------------------------------------------------------------
-def _m33(rows):
-    """Build a (3, 3, *batch) plane tensor from a 3x3 nested list."""
-    return jnp.stack([jnp.stack(r) for r in rows])
+class Mat3:
+    __slots__ = ("m",)
+
+    def __init__(self, planes):
+        m = tuple(planes)
+        assert len(m) == 9
+        self.m = m
+
+    @staticmethod
+    def from_rows(rows):
+        """rows: 3x3 nested list of planes."""
+        return Mat3([rows[i][j] for i in range(3) for j in range(3)])
+
+    @staticmethod
+    def from_array(a):
+        """(3, 3, *batch) array -> Mat3 of views."""
+        return Mat3([a[i, j] for i in range(3) for j in range(3)])
+
+    def to_array(self):
+        """Mat3 -> (3, 3, *batch) array (materializes; avoid on hot paths)."""
+        return jnp.stack([jnp.stack(self.m[3 * i:3 * i + 3]) for i in range(3)])
+
+    def __getitem__(self, ij):
+        i, j = ij
+        return self.m[3 * i + j]
+
+    @property
+    def T(self) -> "Mat3":
+        return Mat3([self.m[3 * j + i] for i in range(3) for j in range(3)])
+
+    def __add__(self, other):
+        return Mat3([a + b for a, b in zip(self.m, other.m)])
+
+    def __sub__(self, other):
+        return Mat3([a - b for a, b in zip(self.m, other.m)])
+
+    def __mul__(self, s):
+        """Scalar or batch-plane broadcast multiply."""
+        return Mat3([a * s for a in self.m])
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, s):
+        return Mat3([a / s for a in self.m])
 
 
-def mat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(A B)[j, k] = sum_m A[j, m] B[m, k] over leading (3,3) planes.
+jax.tree_util.register_pytree_node(
+    Mat3,
+    lambda t: (t.m, None),
+    lambda aux, children: Mat3(children),
+)
 
-    Explicitly unrolled: an einsum here would lower to a batched 3x3
-    dot_general with the long (nelem, Q) axes as batch dims, forcing
-    full-tensor transposes around tiny MXU ops. Unrolled FMAs on planes
-    stay on the VPU at full lanes.
-    """
-    return _m33(
+
+def mat_mul(a: Mat3, b: Mat3) -> Mat3:
+    """(A B)[j, k] = sum_m A[j, m] B[m, k]."""
+    return Mat3.from_rows(
         [[a[j, 0] * b[0, k] + a[j, 1] * b[1, k] + a[j, 2] * b[2, k]
           for k in range(3)] for j in range(3)]
     )
 
 
-def mat_mul_T2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def mat_mul_T2(a: Mat3, b: Mat3) -> Mat3:
     """(A B^T)[j, k] = sum_m A[j, m] B[k, m]."""
-    return _m33(
+    return Mat3.from_rows(
         [[a[j, 0] * b[k, 0] + a[j, 1] * b[k, 1] + a[j, 2] * b[k, 2]
           for k in range(3)] for j in range(3)]
     )
 
 
-def mat_T1_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def mat_T1_mul(a: Mat3, b: Mat3) -> Mat3:
     """(A^T B)[j, k] = sum_n A[n, j] B[n, k]."""
-    return _m33(
+    return Mat3.from_rows(
         [[a[0, j] * b[0, k] + a[1, j] * b[1, k] + a[2, j] * b[2, k]
           for k in range(3)] for j in range(3)]
     )
 
 
-def mat_transpose(a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.swapaxes(a, 0, 1)
+def mat_transpose(a: Mat3) -> Mat3:
+    return a.T
 
 
-def mat_trace(a: jnp.ndarray) -> jnp.ndarray:
+def mat_trace(a: Mat3):
     return a[0, 0] + a[1, 1] + a[2, 2]
 
 
-def mat_ddot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def mat_ddot(a: Mat3, b: Mat3):
     """A : B = sum_jk A[j,k] B[j,k]."""
     acc = a[0, 0] * b[0, 0]
     for j in range(3):
@@ -112,40 +158,48 @@ def mat_ddot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def mat_eye_plus(a: jnp.ndarray) -> jnp.ndarray:
-    """I + A without materializing a broadcast identity."""
-    return a.at[0, 0].add(1.0).at[1, 1].add(1.0).at[2, 2].add(1.0)
+def mat_eye_plus(a: Mat3) -> Mat3:
+    """I + A."""
+    m = list(a.m)
+    for d in range(3):
+        m[4 * d] = m[4 * d] + 1.0
+    return Mat3(m)
 
 
-def mat_scale_eye_plus(s: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
-    """s*I + A (s is a batch-shaped plane)."""
-    return a.at[0, 0].add(s).at[1, 1].add(s).at[2, 2].add(s)
+def mat_scale_eye_plus(s, a: Mat3) -> Mat3:
+    """s*I + A (s is a batch-shaped plane or scalar)."""
+    m = list(a.m)
+    for d in range(3):
+        m[4 * d] = m[4 * d] + s
+    return Mat3(m)
 
 
 def unpack_qdata(qdata: jnp.ndarray):
-    """qdata (10, *batch) -> (wdetJ (*batch,), dXdx (3, 3, *batch))."""
+    """qdata (10, *batch) -> (wdetJ plane, dXdx Mat3 of views)."""
     wdetJ = qdata[0]
-    dXdx = qdata[1:10].reshape((3, 3) + qdata.shape[1:])
+    dXdx = Mat3([qdata[1 + k] for k in range(9)])
     return wdetJ, dXdx
 
 
-def ref_to_phys_grad(du_ref: jnp.ndarray, dXdx: jnp.ndarray) -> jnp.ndarray:
+def ref_to_phys_grad(du_ref: Mat3, dXdx: Mat3) -> Mat3:
     """gradu[c, k] = sum_m du_ref[c, m] * dXdx[m, k]."""
     return mat_mul(du_ref, dXdx)
 
 
-def weight_test_grad(sigma: jnp.ndarray, dXdx: jnp.ndarray, wdetJ: jnp.ndarray) -> jnp.ndarray:
+def weight_test_grad(sigma: Mat3, dXdx: Mat3, wdetJ) -> Mat3:
     """dv_ref[c, k] = sum_m sigma[c, m] dXdx[k, m] * wdetJ."""
     return mat_mul_T2(sigma, dXdx) * wdetJ
 
 
-def sym(g: jnp.ndarray) -> jnp.ndarray:
-    """Symmetric part: 1/2 (g + g^T) over the leading (3,3)."""
-    return 0.5 * (g + mat_transpose(g))
+def sym(g: Mat3) -> Mat3:
+    """Symmetric part: 1/2 (g + g^T)."""
+    return Mat3.from_rows(
+        [[0.5 * (g[i, j] + g[j, i]) for j in range(3)] for i in range(3)]
+    )
 
 
 def log1p_series(x: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized log1p Pade-free series of the reference (hyperSS.h:43-55).
+    """Vectorized log1p series of the reference (hyperSS.h:43-55).
 
     Accurate to ~1e-7 on sqrt(2)/2 < 1+x < sqrt(2), machine precision near 0.
     Kept for bitwise-comparable parity with the reference kernels.

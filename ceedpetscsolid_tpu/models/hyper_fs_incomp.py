@@ -19,9 +19,8 @@ full quadrature (hyperFSIncomp.h:767-859); diagnostics reuse hyperFS's
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from .base import (
+    Mat3,
     Physics,
     log1p_series_shifted,
     mat_ddot,
@@ -41,9 +40,8 @@ nonlinear = True
 composite = True  # has an additional reduced-integration pressure operator
 
 
-def _common(gradu):
-    """E2 = 2E, detC-1, Cinv (commonFS_incomp, hyperFSIncomp.h:69-137).
-    Component-major planes (3, 3, *batch)."""
+def _common(gradu: Mat3):
+    """E2 = 2E, detC-1, Cinv (commonFS_incomp, hyperFSIncomp.h:69-137)."""
     E2 = _green_lagrange_2E(gradu)
     detC_m1 = _det_cm1(E2)
     C = mat_eye_plus(E2)
@@ -54,7 +52,7 @@ def _common(gradu):
 # ---------------------------------------------------------------------------
 # Deviatoric mu-part (full quadrature)
 # ---------------------------------------------------------------------------
-def residual_qf(du_ref, qdata, phys: Physics):
+def residual_planes(du_ref: Mat3, qdata, phys: Physics):
     wdetJ, dXdx = unpack_qdata(qdata)
     gradu = ref_to_phys_grad(du_ref, dXdx)
     E2, _, Cinv = _common(gradu)
@@ -64,14 +62,14 @@ def residual_qf(du_ref, qdata, phys: Physics):
     return weight_test_grad(P, dXdx, wdetJ), gradu
 
 
-def jacobian_qf(ddu_ref, qdata, gradu, phys: Physics):
+def jacobian_planes(ddu_ref: Mat3, qdata, gradu: Mat3, phys: Physics) -> Mat3:
     wdetJ, dXdx = unpack_qdata(qdata)
     graddu = ref_to_phys_grad(ddu_ref, dXdx)
     E2, _, Cinv = _common(gradu)
     S = phys.mu * mat_mul(Cinv, E2)
     F = mat_eye_plus(gradu)
     gTF = mat_T1_mul(graddu, F)
-    dE = 0.5 * (gTF + jnp.swapaxes(gTF, 0, 1))
+    dE = 0.5 * (gTF + gTF.T)
     dS = 2.0 * phys.mu * mat_mul(Cinv, mat_mul(dE, Cinv))
     dP = mat_mul(graddu, S) + mat_mul(F, dS)
     return weight_test_grad(dP, dXdx, wdetJ)
@@ -80,7 +78,7 @@ def jacobian_qf(ddu_ref, qdata, gradu, phys: Physics):
 # ---------------------------------------------------------------------------
 # Pressure lambda-part (reduced integration, Q=1)
 # ---------------------------------------------------------------------------
-def pressure_residual_qf(du_ref, qdata, phys: Physics):
+def pressure_residual_planes(du_ref: Mat3, qdata, phys: Physics):
     wdetJ, dXdx = unpack_qdata(qdata)
     gradu = ref_to_phys_grad(du_ref, dXdx)
     _, detC_m1, Cinv = _common(gradu)
@@ -91,7 +89,8 @@ def pressure_residual_qf(du_ref, qdata, phys: Physics):
     return weight_test_grad(P, dXdx, wdetJ), gradu
 
 
-def pressure_jacobian_qf(ddu_ref, qdata, gradu, phys: Physics):
+def pressure_jacobian_planes(ddu_ref: Mat3, qdata, gradu: Mat3,
+                             phys: Physics) -> Mat3:
     wdetJ, dXdx = unpack_qdata(qdata)
     graddu = ref_to_phys_grad(ddu_ref, dXdx)
     _, detC_m1, Cinv = _common(gradu)
@@ -99,12 +98,33 @@ def pressure_jacobian_qf(ddu_ref, qdata, gradu, phys: Physics):
     S = llnj * Cinv
     F = mat_eye_plus(gradu)
     gTF = mat_T1_mul(graddu, F)
-    dE = 0.5 * (gTF + jnp.swapaxes(gTF, 0, 1))
+    dE = 0.5 * (gTF + gTF.T)
     cinv_dE = mat_ddot(Cinv, dE)
     CidECi = mat_mul(Cinv, mat_mul(dE, Cinv))
     dS = phys.lam * cinv_dE * Cinv - 2.0 * llnj * CidECi
     dP = mat_mul(graddu, S) + mat_mul(F, dS)
     return weight_test_grad(dP, dXdx, wdetJ)
+
+
+# -- (3, 3, *batch)-array adapters ------------------------------------------
+def residual_qf(du_ref, qdata, phys: Physics):
+    dv, stash = residual_planes(Mat3.from_array(du_ref), qdata, phys)
+    return dv.to_array(), stash
+
+
+def jacobian_qf(ddu_ref, qdata, stash, phys: Physics):
+    return jacobian_planes(Mat3.from_array(ddu_ref), qdata, stash, phys).to_array()
+
+
+def pressure_residual_qf(du_ref, qdata, phys: Physics):
+    dv, stash = pressure_residual_planes(Mat3.from_array(du_ref), qdata, phys)
+    return dv.to_array(), stash
+
+
+def pressure_jacobian_qf(ddu_ref, qdata, stash, phys: Physics):
+    return pressure_jacobian_planes(
+        Mat3.from_array(ddu_ref), qdata, stash, phys
+    ).to_array()
 
 
 # ---------------------------------------------------------------------------

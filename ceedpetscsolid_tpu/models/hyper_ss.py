@@ -5,7 +5,8 @@ linearization replaces lambda by lambda_bar = lambda/(1 + e_v)
 (hyperSS.h:293-302). The residual stashes the PHYSICAL gradient gradu for
 the Jacobian (hyperSS.h:69-70, 115-120).
 
-Component-major planes: (3, 3, nelem, Q) — see models/base.py.
+Plane-native kernels over `Mat3` plane tuples (see models/base.py) with
+array adapters for the unstructured paths.
 """
 
 from __future__ import annotations
@@ -13,6 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .base import (
+    Mat3,
     Physics,
     log1p_series,
     mat_ddot,
@@ -28,7 +30,7 @@ name = "hyperSS"
 nonlinear = True
 
 
-def residual_qf(du_ref, qdata, phys: Physics):
+def residual_planes(du_ref: Mat3, qdata, phys: Physics):
     wdetJ, dXdx = unpack_qdata(qdata)
     gradu = ref_to_phys_grad(du_ref, dXdx)
     e = sym(gradu)
@@ -39,7 +41,7 @@ def residual_qf(du_ref, qdata, phys: Physics):
     return weight_test_grad(sigma, dXdx, wdetJ), gradu
 
 
-def jacobian_qf(ddu_ref, qdata, gradu, phys: Physics):
+def jacobian_planes(ddu_ref: Mat3, qdata, gradu: Mat3, phys: Physics) -> Mat3:
     wdetJ, dXdx = unpack_qdata(qdata)
     graddu = ref_to_phys_grad(ddu_ref, dXdx)
     de = sym(graddu)
@@ -51,9 +53,19 @@ def jacobian_qf(ddu_ref, qdata, gradu, phys: Physics):
     return weight_test_grad(dsigma, dXdx, wdetJ)
 
 
+# -- (3, 3, *batch)-array adapters ------------------------------------------
+def residual_qf(du_ref, qdata, phys: Physics):
+    dv, stash = residual_planes(Mat3.from_array(du_ref), qdata, phys)
+    return dv.to_array(), stash
+
+
+def jacobian_qf(ddu_ref, qdata, stash, phys: Physics):
+    return jacobian_planes(Mat3.from_array(ddu_ref), qdata, stash, phys).to_array()
+
+
 def energy_qf(du_ref, qdata, phys: Physics):
     wdetJ, dXdx = unpack_qdata(qdata)
-    e = sym(ref_to_phys_grad(du_ref, dXdx))
+    e = sym(ref_to_phys_grad(Mat3.from_array(du_ref), dXdx))
     ev = mat_trace(e)
     llv = log1p_series(ev)
     shear = e[0, 1] ** 2 + e[0, 2] ** 2 + e[1, 2] ** 2
@@ -66,7 +78,7 @@ def energy_qf(du_ref, qdata, phys: Physics):
 def diagnostic_qf(u, du_ref, qdata, phys: Physics):
     """hyperSS.h:418-522. u: (3, *batch)."""
     _, dXdx = unpack_qdata(qdata)
-    e = sym(ref_to_phys_grad(du_ref, dXdx))
+    e = sym(ref_to_phys_grad(Mat3.from_array(du_ref), dXdx))
     ev = mat_trace(e)
     llv = log1p_series(ev)
     ee = mat_ddot(e, e)

@@ -6,7 +6,9 @@ diagnostic follow linElas.h:285-479, including the reference's exact energy
 expression (which uses `tr(eps)*mu` rather than `mu*(e00^2+e11^2+e22^2)`;
 reproduced verbatim for oracle parity, linElas.h:363-366).
 
-All fields are component-major planes: (3, 3, nelem, Q) — see models/base.py.
+Plane-native kernels (`*_planes`) take/return `Mat3` plane tuples — views
+into the structured pipeline's single GEMM output (ops/structured.py) —
+plus thin (3,3,batch)-array adapters (`*_qf`) for the unstructured paths.
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .base import (
+    Mat3,
     Physics,
     mat_ddot,
     mat_scale_eye_plus,
@@ -28,7 +31,7 @@ name = "linElas"
 nonlinear = False
 
 
-def _sigma(e: jnp.ndarray, phys: Physics) -> jnp.ndarray:
+def _sigma(e: Mat3, phys: Physics) -> Mat3:
     # Verbatim Voigt form of linElas.h:133-144:
     #   diag:     ss*((1-nu) e_ii + nu e_jj + nu e_kk)
     #   off-diag: ss*(1-2nu)/2 * e_ij   (= mu * e_ij -- NOTE: the reference
@@ -39,21 +42,20 @@ def _sigma(e: jnp.ndarray, phys: Physics) -> jnp.ndarray:
     lam_voigt = ss * phys.nu
     mu = ss * (1 - 2 * phys.nu) / 2
     tr = mat_trace(e)
-    s = mu * e
-    s = s.at[0, 0].add(mu * e[0, 0])
-    s = s.at[1, 1].add(mu * e[1, 1])
-    s = s.at[2, 2].add(mu * e[2, 2])
-    return mat_scale_eye_plus(lam_voigt * tr, s)
+    s = [mu * p for p in e.m]
+    for d in range(3):
+        s[4 * d] = s[4 * d] + mu * e.m[4 * d]
+    return mat_scale_eye_plus(lam_voigt * tr, Mat3(s))
 
 
-def residual_qf(du_ref, qdata, phys: Physics):
+def residual_planes(du_ref: Mat3, qdata, phys: Physics):
     wdetJ, dXdx = unpack_qdata(qdata)
     gradu = ref_to_phys_grad(du_ref, dXdx)
     sigma = _sigma(sym(gradu), phys)
     return weight_test_grad(sigma, dXdx, wdetJ), None
 
 
-def jacobian_qf(ddu_ref, qdata, stash, phys: Physics):
+def jacobian_planes(ddu_ref: Mat3, qdata, stash, phys: Physics) -> Mat3:
     # Linear problem: Jacobian action == residual operator (linElas.h:163).
     wdetJ, dXdx = unpack_qdata(qdata)
     graddu = ref_to_phys_grad(ddu_ref, dXdx)
@@ -61,9 +63,19 @@ def jacobian_qf(ddu_ref, qdata, stash, phys: Physics):
     return weight_test_grad(dsigma, dXdx, wdetJ)
 
 
+# -- (3, 3, *batch)-array adapters ------------------------------------------
+def residual_qf(du_ref, qdata, phys: Physics):
+    dv, stash = residual_planes(Mat3.from_array(du_ref), qdata, phys)
+    return dv.to_array(), stash
+
+
+def jacobian_qf(ddu_ref, qdata, stash, phys: Physics):
+    return jacobian_planes(Mat3.from_array(ddu_ref), qdata, stash, phys).to_array()
+
+
 def energy_qf(du_ref, qdata, phys: Physics):
     wdetJ, dXdx = unpack_qdata(qdata)
-    e = sym(ref_to_phys_grad(du_ref, dXdx))
+    e = sym(ref_to_phys_grad(Mat3.from_array(du_ref), dXdx))
     tr = mat_trace(e)
     shear = e[0, 1] ** 2 + e[0, 2] ** 2 + e[1, 2] ** 2
     # Verbatim reference expression (linElas.h:363-366)
@@ -74,7 +86,7 @@ def diagnostic_qf(u, du_ref, qdata, phys: Physics):
     """8 planes: ux,uy,uz, pressure, tr(e), e:e, 1+tr(e), energy density
     (linElas.h:376-479). u: (3, *batch)."""
     _, dXdx = unpack_qdata(qdata)
-    e = sym(ref_to_phys_grad(du_ref, dXdx))
+    e = sym(ref_to_phys_grad(Mat3.from_array(du_ref), dXdx))
     tr = mat_trace(e)
     ee = mat_ddot(e, e)
     shear = e[0, 1] ** 2 + e[0, 2] ** 2 + e[1, 2] ** 2

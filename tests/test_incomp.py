@@ -20,7 +20,7 @@ def test_incomp_jacobian_matches_jvp():
     G, stash = prob._nonlinear_residual(u, bc, prob.F)
     # stash carries both full-quadrature and Q=1 pressure gradients
     assert isinstance(stash, tuple) and len(stash) == 2
-    assert stash[1].shape[-1] == 1   # single reduced-integration point
+    assert stash[1][0, 0].shape[-1] == 1   # single reduced-integration point
     v = jnp.asarray(rng.normal(size=u.shape))
     Jv = prob._jacobian_action(v, stash)
     f = lambda x: prob._nonlinear_residual(x, bc, prob.F)[0]  # noqa: E731
