@@ -27,9 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mesh.fespace import FESpace
+from ..models.base import Mat3
 from . import geometry
 from .basis import Basis3D
 from .restriction import Restriction
+from .structured import StructuredMaps, StructuredRestriction, grad_gemm_matrices
 
 
 def default_dtype():
@@ -49,6 +51,8 @@ class LevelOps:
     space: FESpace
     restr: Restriction
     basis: Basis3D          # P_level -> Q_fine (Gauss)
+    srestr: StructuredRestriction | None = None
+    sgrad: tuple | None = None          # (Kg, KgT) single-GEMM gradient op
 
 
 class OperatorFactory:
@@ -68,15 +72,18 @@ class OperatorFactory:
         fine = spaces[-1]
         self.fine_degree = fine.degree
         self.Q1d = q1d if q1d is not None else fine.degree + 1 + qextra  # setuplibceed.c:252
-        self.levels = [
-            LevelOps(
+        self.levels = []
+        for s in spaces:
+            basis = Basis3D.create(s.degree + 1, self.Q1d, "gauss", self.dtype)
+            smaps = StructuredMaps(s)
+            self.levels.append(LevelOps(
                 space=s,
                 restr=Restriction(s.conn, s.num_nodes,
                                   node_ranges=s.entity_node_ranges()),
-                basis=Basis3D.create(s.degree + 1, self.Q1d, "gauss", self.dtype),
-            )
-            for s in spaces
-        ]
+                basis=basis,
+                srestr=StructuredRestriction(smaps),
+                sgrad=grad_gemm_matrices(basis, smaps.col_lattice, self.dtype),
+            ))
         self.fine = self.levels[-1]
         mesh = fine.mesh
         # coordinate (vertex) restriction: trilinear geometry basis 2 -> Q
@@ -125,6 +132,40 @@ class OperatorFactory:
             ddv = jacobian_qf(ddu, qdata, stash, phys)
             ve = basis.apply_grad_T(ddv)
             return restr.scatter_add(ve)
+
+        return apply
+
+    # ------------------------------------------------------------------
+    # Structured single-GEMM pipeline (ops/structured.py): the production
+    # hot path. The qfunction operates on Mat3 views of the GEMM output
+    # columns — no (c, d, e, q) tensors are ever materialized.
+    # ------------------------------------------------------------------
+    def make_residual_structured(self, residual_planes: Callable, phys) -> Callable:
+        """(u (3, nnodes), qdata, srestr, (Kg, KgT)) -> (residual, stash)."""
+        Q3 = self.fine.basis.Q3
+
+        def apply(u, qdata, sr, sk):
+            Kg, KgT = sk
+            due = sr.gather_rows(u.T) @ Kg                 # (e, 9*Q3)
+            du = Mat3([due[:, k * Q3:(k + 1) * Q3] for k in range(9)])
+            dv, stash = residual_planes(du, qdata, phys)
+            ve = jnp.concatenate(dv.m, axis=1) @ KgT       # (e, P3*3)
+            return sr.scatter_rows(ve).T, stash
+
+        return apply
+
+    def make_jacobian_structured(self, jacobian_planes: Callable, phys,
+                                 level: int = -1) -> Callable:
+        """(v, qdata, stash, srestr_level, (Kg, KgT)_level) -> J@v."""
+        Q3 = self.levels[level].basis.Q3
+
+        def apply(v, qdata, stash, sr, sk):
+            Kg, KgT = sk
+            due = sr.gather_rows(v.T) @ Kg
+            ddu = Mat3([due[:, k * Q3:(k + 1) * Q3] for k in range(9)])
+            ddv = jacobian_planes(ddu, qdata, stash, phys)
+            ve = jnp.concatenate(ddv.m, axis=1) @ KgT
+            return sr.scatter_rows(ve).T
 
         return apply
 

@@ -178,59 +178,62 @@ class ElasticityProblem:
             # full-quadrature factory so only one copy travels through jit
             for plvl, flvl in zip(self.pfactory.levels, self.factory.levels):
                 plvl.restr = flvl.restr
+                plvl.srestr = flvl.srestr
             self.pfactory.coord_restr = self.factory.coord_restr
             self.qdata_p = self.pfactory.compute_qdata()
-            res_mu = self.factory.make_residual(self.model.residual_qf, self.phys)
-            res_p = self.pfactory.make_residual(
-                self.model.pressure_residual_qf, self.phys
-            )
-            jac_mu = self.factory.make_jacobian(self.model.jacobian_qf, self.phys)
-            jac_p = self.pfactory.make_jacobian(
-                self.model.pressure_jacobian_qf, self.phys
-            )
-
-            def _raw_residual(u, big):
-                r1, s1 = res_mu(u, big["qdata"], big["restrs"][-1])
-                r2, s2 = res_p(u, big["qdata_p"], big["restrs"][-1])
-                return r1 + r2, (s1, s2)
-
-            def _raw_jacobian(v, big, stash, level=-1):
-                return jac_mu[level](v, big["qdata"], stash[0],
-                                     big["restrs"][level]) + jac_p[level](
-                    v, big["qdata_p"], stash[1], big["restrs"][level]
-                )
-
             nlev = len(self.spaces)
+            res_mu = self.factory.make_residual_structured(
+                self.model.residual_planes, self.phys
+            )
+            res_p = self.pfactory.make_residual_structured(
+                self.model.pressure_residual_planes, self.phys
+            )
             jac_mu = [
-                self.factory.make_jacobian(self.model.jacobian_qf, self.phys,
-                                           level=l)
+                self.factory.make_jacobian_structured(
+                    self.model.jacobian_planes, self.phys, level=l)
                 for l in range(nlev)
             ]
             jac_p = [
-                self.pfactory.make_jacobian(
-                    self.model.pressure_jacobian_qf, self.phys, level=l
-                )
+                self.pfactory.make_jacobian_structured(
+                    self.model.pressure_jacobian_planes, self.phys, level=l)
                 for l in range(nlev)
             ]
+
+            def _raw_residual(u, big):
+                sr, sk = big["srestrs"][-1], big["sgrads"][-1]
+                r1, s1 = res_mu(u, big["qdata"], sr, sk)
+                r2, s2 = res_p(u, big["qdata_p"], sr, big["sgrads_p"][-1])
+                return r1 + r2, (s1, s2)
+
+            def _raw_jacobian(v, big, stash, level=-1):
+                sr = big["srestrs"][level]
+                return jac_mu[level](
+                    v, big["qdata"], stash[0], sr, big["sgrads"][level]
+                ) + jac_p[level](
+                    v, big["qdata_p"], stash[1], sr, big["sgrads_p"][level]
+                )
+
             self._raw_residual = _raw_residual
             self._raw_jacobian = _raw_jacobian
         else:
             nlev = len(self.spaces)
-            res_one = self.factory.make_residual(
-                self.model.residual_qf, self.phys
+            res_one = self.factory.make_residual_structured(
+                self.model.residual_planes, self.phys
             )
             jac_lvls = [
-                self.factory.make_jacobian(self.model.jacobian_qf, self.phys,
-                                           level=l)
+                self.factory.make_jacobian_structured(
+                    self.model.jacobian_planes, self.phys, level=l)
                 for l in range(nlev)
             ]
 
             def _raw_residual(u, big):
-                return res_one(u, big["qdata"], big["restrs"][-1])
+                return res_one(u, big["qdata"], big["srestrs"][-1],
+                               big["sgrads"][-1])
 
             def _raw_jacobian(v, big, stash, level=-1):
                 return jac_lvls[level](v, big["qdata"], stash,
-                                       big["restrs"][level])
+                                       big["srestrs"][level],
+                                       big["sgrads"][level])
 
             self._raw_residual = _raw_residual
             self._raw_jacobian = _raw_jacobian
@@ -245,9 +248,14 @@ class ElasticityProblem:
         self._big = {
             "qdata": self.qdata,
             "restrs": tuple(l.restr for l in self.factory.levels),
+            "srestrs": tuple(l.srestr for l in self.factory.levels),
+            "sgrads": tuple(l.sgrad for l in self.factory.levels),
         }
         if self.composite:
             self._big["qdata_p"] = self.qdata_p
+            self._big["sgrads_p"] = tuple(
+                l.sgrad for l in self.pfactory.levels
+            )
         self.setup_time = time.perf_counter() - t0
         self._setup_stage.__exit__(None, None, None)
         with GLOBAL_LOG.stage("SNES Setup"):
