@@ -45,23 +45,30 @@ def main():
     bc = prob.bc_values(1.0)
     F = prob.F
 
-    resid = jax.jit(lambda u: prob._nonlinear_residual(u, bc, F)[0])
+    resid = lambda u: prob._nonlinear_residual(u, bc, F)[0]  # noqa: E731
     u = jnp.zeros((3, prob.fine_space.num_nodes), prob.dtype)
 
-    # warmup / compile (the first ~10 dispatches through the TPU transport
-    # run an order of magnitude slower; exclude them from the measurement)
-    r = resid(u)
-    for _ in range(10):
-        r = resid(r * 0.0)
+    # Time `reps` residual evaluations inside ONE jitted scan with a data
+    # dependency between iterations: measures operator throughput, not the
+    # per-dispatch host->TPU transport latency (~0.5 ms on tunneled chips).
+    @jax.jit
+    def many(u0):
+        def body(c, _):
+            r = resid(c)
+            return c + 1e-30 * jnp.sum(r), None
+        out, _ = jax.lax.scan(body, u0, None, length=reps)
+        return out
+
+    r = many(u)          # compile + warmup
     jax.block_until_ready(r)
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r = resid(r * 0.0)  # keep a data dependency between iterations
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(many(u))
+        best = min(best, time.perf_counter() - t0)
 
-    mdofs_per_sec = 1e-6 * ndofs * reps / dt
+    mdofs_per_sec = 1e-6 * ndofs * reps / best
     print(
         json.dumps(
             {

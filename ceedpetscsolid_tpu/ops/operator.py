@@ -30,12 +30,37 @@ from ..mesh.fespace import FESpace
 from ..models.base import Mat3
 from . import geometry
 from .basis import Basis3D
+from . import pallas_apply
 from .restriction import Restriction
 from .structured import StructuredMaps, StructuredRestriction, grad_gemm_matrices
 
 
 def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _has_stash(planes_fn, phys) -> bool:
+    """Abstract-eval the qfunction to learn whether it returns a stash."""
+    d = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+    _, stash = jax.eval_shape(
+        lambda p, q: planes_fn(Mat3([p] * 9), q, phys),
+        d, jax.ShapeDtypeStruct((10, 1, 1), jnp.float32),
+    )
+    return stash is not None
+
+
+def _needs_stash(jacobian_planes, phys) -> bool:
+    """True iff the Jacobian qfunction actually reads its stash argument
+    (linear models ignore it and receive None)."""
+    d = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+    try:
+        jax.eval_shape(
+            lambda p, q: jacobian_planes(Mat3([p] * 9), q, None, phys),
+            d, jax.ShapeDtypeStruct((10, 1, 1), jnp.float32),
+        )
+        return False
+    except Exception:
+        return True
 
 
 @dataclass
@@ -64,25 +89,48 @@ class OperatorFactory:
         qextra: int = 0,
         dtype=None,
         q1d: int | None = None,
+        use_pallas: bool | None = None,
+        block_elems: int = 128,
+        pallas_interpret: bool = False,
     ):
         """q1d overrides the quadrature size — used by the reduced-integration
         pressure operator of hyperFSIncomp (Q = 1 + qextra,
-        src/setuplibceed.c:406)."""
+        src/setuplibceed.c:406). use_pallas=None auto-enables the fused
+        Pallas apply kernel on the TPU backend (f32, full quadrature)."""
         self.dtype = dtype or default_dtype()
         fine = spaces[-1]
         self.fine_degree = fine.degree
         self.Q1d = q1d if q1d is not None else fine.degree + 1 + qextra  # setuplibceed.c:252
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and self.dtype == jnp.float32
+                and self.Q1d ** 3 >= 32
+            )
+        self.use_pallas = use_pallas
+        self.block_elems = block_elems
+        self.pallas_interpret = pallas_interpret
+        self.Q3 = self.Q1d ** 3
+        nelem = fine.conn.shape[0]
+        self.nelem = nelem
+        self.e_pad = -(-max(nelem, block_elems) // block_elems) * block_elems
         self.levels = []
         for s in spaces:
             basis = Basis3D.create(s.degree + 1, self.Q1d, "gauss", self.dtype)
             smaps = StructuredMaps(s)
+            sgrad = (
+                pallas_apply.padded_grad_matrices(
+                    basis, smaps.col_lattice, self.dtype)
+                if use_pallas
+                else grad_gemm_matrices(basis, smaps.col_lattice, self.dtype)
+            )
             self.levels.append(LevelOps(
                 space=s,
                 restr=Restriction(s.conn, s.num_nodes,
                                   node_ranges=s.entity_node_ranges()),
                 basis=basis,
                 srestr=StructuredRestriction(smaps),
-                sgrad=grad_gemm_matrices(basis, smaps.col_lattice, self.dtype),
+                sgrad=sgrad,
             ))
         self.fine = self.levels[-1]
         mesh = fine.mesh
@@ -103,6 +151,18 @@ class OperatorFactory:
         """(3, nelem, Q3) physical coordinates of quadrature points."""
         xe = self.coord_restr.gather(self.vertex_coords)
         return self.coord_basis.apply_interp(xe)
+
+    def struct_qdata(self, qdata) -> jnp.ndarray:
+        """qdata as consumed by the structured apply path: lane/row-padded
+        for the Pallas kernel, the plain array otherwise."""
+        if not self.use_pallas:
+            return qdata
+        return pallas_apply.pad_qdata(qdata, self.e_pad)
+
+    def stash_view(self, stash):
+        """Expose a structured-path stash as Mat3 of (nelem, Q3) planes for
+        the unstructured consumers (diagonal, p=1 element matrices)."""
+        return pallas_apply.stash_view(stash, self.nelem, self.Q3)
 
     # ------------------------------------------------------------------
     def make_residual(self, residual_qf: Callable, phys) -> Callable:
@@ -141,8 +201,32 @@ class OperatorFactory:
     # columns — no (c, d, e, q) tensors are ever materialized.
     # ------------------------------------------------------------------
     def make_residual_structured(self, residual_planes: Callable, phys) -> Callable:
-        """(u (3, nnodes), qdata, srestr, (Kg, KgT)) -> (residual, stash)."""
+        """(u (3, nnodes), qdata_s, srestr, (Kg, KgT)) -> (residual, stash).
+
+        qdata_s is `struct_qdata(qdata)`. On the Pallas path the stash is a
+        (9, e_pad, Q3p) array (use `stash_view` for Mat3 access); on the XLA
+        path it is the usual Mat3 of (nelem, Q3) planes.
+        """
         Q3 = self.fine.basis.Q3
+        if self.use_pallas:
+            has_stash = _has_stash(residual_planes, phys)
+            fused = pallas_apply.make_fused_apply(
+                residual_planes, phys, self.fine.basis.P3 * 3, Q3,
+                self.nelem, self.dtype, stash_in=False, stash_out=has_stash,
+                block_elems=self.block_elems,
+                interpret=self.pallas_interpret,
+            )
+            nelem, e_pad = self.nelem, self.e_pad
+
+            def apply_pl(u, qdata_s, sr, sk):
+                Kg, KgT = sk
+                ue = jnp.pad(sr.gather_rows(u.T),
+                             ((0, e_pad - nelem), (0, 0)))
+                out = fused(ue, qdata_s, Kg, KgT)
+                ve, stash = out if has_stash else (out, None)
+                return sr.scatter_rows(ve[:nelem]).T, stash
+
+            return apply_pl
 
         def apply(u, qdata, sr, sk):
             Kg, KgT = sk
@@ -156,8 +240,27 @@ class OperatorFactory:
 
     def make_jacobian_structured(self, jacobian_planes: Callable, phys,
                                  level: int = -1) -> Callable:
-        """(v, qdata, stash, srestr_level, (Kg, KgT)_level) -> J@v."""
+        """(v, qdata_s, stash, srestr_level, (Kg, KgT)_level) -> J@v."""
         Q3 = self.levels[level].basis.Q3
+        if self.use_pallas:
+            stash_in = _needs_stash(jacobian_planes, phys)
+            fused = pallas_apply.make_fused_apply(
+                jacobian_planes, phys, self.levels[level].basis.P3 * 3, Q3,
+                self.nelem, self.dtype, jacobian=True, stash_in=stash_in,
+                block_elems=self.block_elems,
+                interpret=self.pallas_interpret,
+            )
+            nelem, e_pad = self.nelem, self.e_pad
+
+            def japply_pl(v, qdata_s, stash, sr, sk):
+                Kg, KgT = sk
+                ue = jnp.pad(sr.gather_rows(v.T),
+                             ((0, e_pad - nelem), (0, 0)))
+                ve = fused(ue, qdata_s, Kg, KgT,
+                           stash if stash_in else None)
+                return sr.scatter_rows(ve[:nelem]).T
+
+            return japply_pl
 
         def apply(v, qdata, stash, sr, sk):
             Kg, KgT = sk

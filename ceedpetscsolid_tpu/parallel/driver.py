@@ -423,4 +423,6 @@ class DistributedProblem:
         u_glob = jnp.asarray(self.to_global(u_owned), prob.dtype)
         bc = prob.bc_values(load)
         _, stash = prob._nonlinear_residual(u_glob, bc, prob.F * load)
-        return stash
+        # Pallas-path stash is a padded array; re-expose as Mat3 planes
+        # for the unstructured element-matrix kernels.
+        return prob.factory.stash_view(stash)

@@ -201,14 +201,14 @@ class ElasticityProblem:
 
             def _raw_residual(u, big):
                 sr, sk = big["srestrs"][-1], big["sgrads"][-1]
-                r1, s1 = res_mu(u, big["qdata"], sr, sk)
+                r1, s1 = res_mu(u, big["qdata_s"], sr, sk)
                 r2, s2 = res_p(u, big["qdata_p"], sr, big["sgrads_p"][-1])
                 return r1 + r2, (s1, s2)
 
             def _raw_jacobian(v, big, stash, level=-1):
                 sr = big["srestrs"][level]
                 return jac_mu[level](
-                    v, big["qdata"], stash[0], sr, big["sgrads"][level]
+                    v, big["qdata_s"], stash[0], sr, big["sgrads"][level]
                 ) + jac_p[level](
                     v, big["qdata_p"], stash[1], sr, big["sgrads_p"][level]
                 )
@@ -227,11 +227,11 @@ class ElasticityProblem:
             ]
 
             def _raw_residual(u, big):
-                return res_one(u, big["qdata"], big["srestrs"][-1],
+                return res_one(u, big["qdata_s"], big["srestrs"][-1],
                                big["sgrads"][-1])
 
             def _raw_jacobian(v, big, stash, level=-1):
-                return jac_lvls[level](v, big["qdata"], stash,
+                return jac_lvls[level](v, big["qdata_s"], stash,
                                        big["srestrs"][level],
                                        big["sgrads"][level])
 
@@ -247,6 +247,9 @@ class ElasticityProblem:
         # this pytree -- baked-constant HLO payloads break remote compile.
         self._big = {
             "qdata": self.qdata,
+            # structured-path view: lane/row-padded iff the Pallas fused
+            # apply kernel is active (ops/pallas_apply.py)
+            "qdata_s": self.factory.struct_qdata(self.qdata),
             "restrs": tuple(l.restr for l in self.factory.levels),
             "srestrs": tuple(l.srestr for l in self.factory.levels),
             "sgrads": tuple(l.sgrad for l in self.factory.levels),
@@ -327,9 +330,10 @@ class ElasticityProblem:
             ]
 
         def level_diag(l, stash, big):
+            sv = self.factory.stash_view
             if not self.composite:
-                return diag_mu[l](big["qdata"], stash, big["restrs"][l])
-            return diag_mu[l](big["qdata"], stash[0], big["restrs"][l]) +                 diag_p[l](big["qdata_p"], stash[1], big["restrs"][l])
+                return diag_mu[l](big["qdata"], sv(stash), big["restrs"][l])
+            return diag_mu[l](big["qdata"], sv(stash[0]), big["restrs"][l]) +                 diag_p[l](big["qdata_p"], stash[1], big["restrs"][l])
 
         # --- AMG coarse machinery (E3e/E3f): assembled p=1 + native SA ---
         self._use_amg = (
@@ -347,12 +351,14 @@ class ElasticityProblem:
                     self.pfactory.levels[0].basis, self.dtype,
                 )
                 self._elem_mats0 = jax.jit(
-                    lambda stash, big: em_mu(big["qdata"], stash[0])
+                    lambda stash, big: em_mu(
+                        big["qdata"], self.factory.stash_view(stash[0]))
                     + em_p(big["qdata_p"], stash[1])
                 )
             else:
                 self._elem_mats0 = jax.jit(
-                    lambda stash, big: em_mu(big["qdata"], stash)
+                    lambda stash, big: em_mu(
+                        big["qdata"], self.factory.stash_view(stash))
                 )
             space0 = self.spaces[0]
             self._assembler0 = CSRAssembler(
