@@ -61,4 +61,5 @@ def box_mesh(
         es = eid[mask]
         lf = np.full(es.shape, _BOX_FACE_SET_TO_LOCAL[fs], dtype=np.int64)
         face_sets[fs] = np.stack([es, lf], axis=1)
-    return HexMesh(vertices=verts, connectivity=conn, face_sets=face_sets)
+    return HexMesh(vertices=verts, connectivity=conn, face_sets=face_sets,
+                   box_dims=(nx, ny, nz))

@@ -65,6 +65,10 @@ class HexMesh:
     vertices: np.ndarray                     # (nverts, 3) float64
     connectivity: np.ndarray                 # (nelem, 8) int64, tensor order
     face_sets: dict = field(default_factory=dict)
+    # (nx, ny, nz) element counts iff generated as a canonical box mesh
+    # (lattice vertex numbering, lattice element order) -- enables the
+    # index-free structured restriction (ops/lattice.py). None otherwise.
+    box_dims: tuple | None = None
 
     @property
     def num_vertices(self) -> int:

@@ -95,10 +95,16 @@ class FESpace:
     off_edge: int = 0
     off_face: int = 0
     off_cell: int = 0
+    # (nx, ny, nz) iff numbered in LATTICE order over a canonical box mesh
+    # (node (i,j,k) -> i + Nx*(j + Ny*k)); enables ops/lattice.py. The
+    # entity-class offsets above are meaningless in that case.
+    lattice_dims: tuple | None = None
     _bnodes_cache: dict = field(default_factory=dict, repr=False)
 
     def entity_node_ranges(self) -> list:
         """Contiguous node-id ranges of ~uniform multiplicity."""
+        if self.lattice_dims is not None:
+            return [(0, self.num_nodes)]
         return [
             (0, self.off_edge),
             (self.off_edge, self.off_face),
@@ -153,11 +159,91 @@ class FESpace:
         return self._bnodes_cache["all"]
 
 
+def _is_canonical_box(mesh: HexMesh) -> bool:
+    """True iff the mesh is a box mesh in canonical lattice vertex numbering
+    and lattice element order (as produced by mesh/box.py, unpermuted)."""
+    if mesh.box_dims is None:
+        return False
+    nx, ny, nz = mesh.box_dims
+    if (mesh.num_elements != nx * ny * nz
+            or mesh.num_vertices != (nx + 1) * (ny + 1) * (nz + 1)):
+        return False
+    I, J, K = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    I = I.transpose(2, 1, 0).ravel()
+    J = J.transpose(2, 1, 0).ravel()
+    K = K.transpose(2, 1, 0).ravel()
+
+    def vid(i, j, k):
+        return i + (nx + 1) * (j + (ny + 1) * k)
+
+    expect = np.stack(
+        [vid(I, J, K), vid(I + 1, J, K), vid(I, J + 1, K),
+         vid(I + 1, J + 1, K), vid(I, J, K + 1), vid(I + 1, J, K + 1),
+         vid(I, J + 1, K + 1), vid(I + 1, J + 1, K + 1)], axis=1)
+    return np.array_equal(np.asarray(mesh.connectivity), expect)
+
+
+def _build_lattice_fespace(mesh: HexMesh, p: int) -> FESpace:
+    """Lattice-numbered degree-p space on a canonical box mesh.
+
+    Node (i, j, k) -> i + Nx*(j + Ny*k); element connectivity windows are
+    implicit, which lets the operator pipeline use the index-free
+    structured restriction (ops/lattice.py). Explicit conn is still built
+    (numpy, setup time) for the generic consumers (qdata-independent paths,
+    CSR assembly, partitioning).
+    """
+    nx, ny, nz = mesh.box_dims
+    P = p + 1
+    Nx, Ny, Nz = p * nx + 1, p * ny + 1, p * nz + 1
+    num_nodes = Nx * Ny * Nz
+
+    # element lattice coords, x fastest (matches box_mesh element order)
+    A, B, C = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    ea = A.transpose(2, 1, 0).ravel()
+    eb = B.transpose(2, 1, 0).ravel()
+    ec = C.transpose(2, 1, 0).ravel()
+    # local lattice offsets, x fastest (t = i + P*(j + P*k))
+    li, lj, lk = _lattice_grids(P)
+    li = li.transpose(2, 1, 0).ravel()
+    lj = lj.transpose(2, 1, 0).ravel()
+    lk = lk.transpose(2, 1, 0).ravel()
+    gi = p * ea[:, None] + li[None, :]
+    gj = p * eb[:, None] + lj[None, :]
+    gk = p * ec[:, None] + lk[None, :]
+    conn = gi + Nx * (gj + Ny * gk)
+
+    # nodal coordinates: trilinear geometry at the GLL lattice (identical
+    # formula to the generic path below)
+    g, _ = quadrature.gauss_lobatto(P) if P > 1 else (np.zeros(1), None)
+    t = (g + 1.0) / 2.0
+    wx = np.stack([1.0 - t, t])
+    W = np.einsum("ai,bj,ck->ijkabc", wx, wx, wx).reshape(P ** 3, 8)
+    vcoords = mesh.vertices[mesh.connectivity]          # (nelem, 8, 3)
+    lattice_xyz = np.einsum("la,ead->eld", W, vcoords)
+    coords = np.empty((num_nodes, 3))
+    coords[conn.ravel()] = lattice_xyz.reshape(-1, 3)
+
+    return FESpace(
+        mesh=mesh, degree=p, num_nodes=num_nodes,
+        conn=conn.astype(np.int32), coords=coords,
+        lattice_dims=(nx, ny, nz),
+    )
+
+
 def build_fespace(mesh: HexMesh, degree: int) -> FESpace:
-    """Build the degree-p space: global numbering + tensor connectivity."""
+    """Build the degree-p space: global numbering + tensor connectivity.
+
+    Canonical box meshes get LATTICE numbering (node (i,j,k) lexicographic)
+    so the operator pipeline can use the index-free structured restriction;
+    everything else gets entity-class numbering with orientation resolution.
+    """
     p = int(degree)
     if p < 1:
         raise ValueError("degree must be >= 1")
+    if _is_canonical_box(mesh):
+        return _build_lattice_fespace(mesh, p)
     P = p + 1
     conn8 = mesh.connectivity
     nelem, nverts = conn8.shape[0], mesh.num_vertices

@@ -31,6 +31,7 @@ from ..models.base import Mat3
 from . import geometry
 from .basis import Basis3D
 from . import pallas_apply
+from .lattice import LatticeRestriction
 from .restriction import Restriction
 from .structured import StructuredMaps, StructuredRestriction, grad_gemm_matrices
 
@@ -117,19 +118,25 @@ class OperatorFactory:
         self.levels = []
         for s in spaces:
             basis = Basis3D.create(s.degree + 1, self.Q1d, "gauss", self.dtype)
-            smaps = StructuredMaps(s)
+            if s.lattice_dims is not None:
+                # box mesh: index-free structured restriction; element-local
+                # columns in plain lattice order (identity col_lattice)
+                lr = LatticeRestriction(s.lattice_dims, s.degree)
+                col = np.arange((s.degree + 1) ** 3)
+                restr, srestr = lr, lr
+            else:
+                smaps = StructuredMaps(s)
+                col = smaps.col_lattice
+                restr = Restriction(s.conn, s.num_nodes,
+                                    node_ranges=s.entity_node_ranges())
+                srestr = StructuredRestriction(smaps)
             sgrad = (
-                pallas_apply.padded_grad_matrices(
-                    basis, smaps.col_lattice, self.dtype)
+                pallas_apply.padded_grad_matrices(basis, col, self.dtype)
                 if use_pallas
-                else grad_gemm_matrices(basis, smaps.col_lattice, self.dtype)
+                else grad_gemm_matrices(basis, col, self.dtype)
             )
             self.levels.append(LevelOps(
-                space=s,
-                restr=Restriction(s.conn, s.num_nodes,
-                                  node_ranges=s.entity_node_ranges()),
-                basis=basis,
-                srestr=StructuredRestriction(smaps),
+                space=s, restr=restr, basis=basis, srestr=srestr,
                 sgrad=sgrad,
             ))
         self.fine = self.levels[-1]

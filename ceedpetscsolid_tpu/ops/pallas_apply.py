@@ -46,21 +46,23 @@ def _round_up(x: int, m: int) -> int:
 
 
 def padded_grad_matrices(basis, col_lattice: np.ndarray, dtype):
-    """(Kg (9, P3*3, Q3p), KgT (9, Q3p, P3*3)) in class-column order.
+    """Component-blocked gradient operators (G (3, P3p, Q3p), GT (3, Q3p, P3p)).
 
-    Plane k = 3*c + d maps (node p, comp c') -> du[c,d] at quadrature points:
-    rows with c' != c are zero (same factorization as
-    ops/structured.grad_gemm_matrices, split per plane and lane-padded).
+    G[d, :P3, :Q3] is the direction-d gradient matrix in the given column
+    order; rows/lanes are 128-padded with zeros. The displacement components
+    are a BATCH dimension of the GEMM (du[c,d] = u_c @ G[d]) rather than
+    being interleaved into the contraction — this is 3x fewer MXU flops
+    than the 9-plane interleaved factorization (no structurally-zero rows).
     """
     grad = np.asarray(basis.grad, np.float64)           # (3, Q3, P3) lattice
     Q3, P3 = grad.shape[1], grad.shape[2]
     Q3p = _round_up(Q3, 128)
-    Kg = np.zeros((9, P3 * 3, Q3p))
-    for c in range(3):
-        for d in range(3):
-            Kg[c * 3 + d, c::3, :Q3] = grad[d][:, col_lattice].T
-    KgT = np.ascontiguousarray(np.transpose(Kg, (0, 2, 1)))
-    return jnp.asarray(Kg, dtype), jnp.asarray(KgT, dtype)
+    P3p = _round_up(P3, 128)
+    G = np.zeros((3, P3p, Q3p))
+    for d in range(3):
+        G[d, :P3, :Q3] = grad[d][:, col_lattice].T
+    GT = np.ascontiguousarray(np.transpose(G, (0, 2, 1)))
+    return jnp.asarray(G, dtype), jnp.asarray(GT, dtype)
 
 
 def pad_qdata(qdata, nelem_pad: int) -> jnp.ndarray:
