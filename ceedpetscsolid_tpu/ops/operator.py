@@ -217,8 +217,9 @@ class OperatorFactory:
         Q3 = self.fine.basis.Q3
         if self.use_pallas:
             has_stash = _has_stash(residual_planes, phys)
+            P3 = self.fine.basis.P3
             fused = pallas_apply.make_fused_apply(
-                residual_planes, phys, self.fine.basis.P3 * 3, Q3,
+                residual_planes, phys, P3, Q3,
                 self.nelem, self.dtype, stash_in=False, stash_out=has_stash,
                 block_elems=self.block_elems,
                 interpret=self.pallas_interpret,
@@ -227,11 +228,12 @@ class OperatorFactory:
 
             def apply_pl(u, qdata_s, sr, sk):
                 Kg, KgT = sk
-                ue = jnp.pad(sr.gather_rows(u.T),
-                             ((0, e_pad - nelem), (0, 0)))
+                ue = pallas_apply.pack_rows(sr.gather_rows(u.T),
+                                            e_pad, fused.P3p)
                 out = fused(ue, qdata_s, Kg, KgT)
-                ve, stash = out if has_stash else (out, None)
-                return sr.scatter_rows(ve[:nelem]).T, stash
+                ve3, stash = out if has_stash else (out, None)
+                ve = pallas_apply.unpack_rows(ve3, nelem, P3)
+                return sr.scatter_rows(ve).T, stash
 
             return apply_pl
 
@@ -251,8 +253,9 @@ class OperatorFactory:
         Q3 = self.levels[level].basis.Q3
         if self.use_pallas:
             stash_in = _needs_stash(jacobian_planes, phys)
+            P3 = self.levels[level].basis.P3
             fused = pallas_apply.make_fused_apply(
-                jacobian_planes, phys, self.levels[level].basis.P3 * 3, Q3,
+                jacobian_planes, phys, P3, Q3,
                 self.nelem, self.dtype, jacobian=True, stash_in=stash_in,
                 block_elems=self.block_elems,
                 interpret=self.pallas_interpret,
@@ -261,11 +264,12 @@ class OperatorFactory:
 
             def japply_pl(v, qdata_s, stash, sr, sk):
                 Kg, KgT = sk
-                ue = jnp.pad(sr.gather_rows(v.T),
-                             ((0, e_pad - nelem), (0, 0)))
-                ve = fused(ue, qdata_s, Kg, KgT,
-                           stash if stash_in else None)
-                return sr.scatter_rows(ve[:nelem]).T
+                ue = pallas_apply.pack_rows(sr.gather_rows(v.T),
+                                            e_pad, fused.P3p)
+                ve3 = fused(ue, qdata_s, Kg, KgT,
+                            stash if stash_in else None)
+                ve = pallas_apply.unpack_rows(ve3, nelem, P3)
+                return sr.scatter_rows(ve).T
 
             return japply_pl
 

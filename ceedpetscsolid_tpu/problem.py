@@ -274,7 +274,20 @@ class ElasticityProblem:
 
     def _linear_solve(self, G, stash):
         self._refresh_amg(stash)
-        return self._lin_solve_j(G, stash, self._big)
+        pc = self._pc_setup(stash)
+        return self._lin_solve_j(G, stash, self._big, pc)
+
+    def _pc_setup(self, stash):
+        """Preconditioner data (level diagonals + Chebyshev eigenvalue
+        bounds), refreshed once per Jacobian like the reference's
+        KSPChebyshevEstEig (elasticity.c:539-545) — NOT inside the solve.
+        For linear models the Jacobian never changes, so it is computed
+        exactly once."""
+        if self._pc_cache is not None and not self.model.nonlinear:
+            return self._pc_cache
+        pc = self._pc_setup_j(stash, self._big)
+        self._pc_cache = pc
+        return pc
 
     def _energy(self, u, qdata=None):
         return self._energy_j(u, self._big)
@@ -388,16 +401,21 @@ class ElasticityProblem:
 
         self._refresh_amg = refresh_amg
 
+        self._pc_cache = None
         use_mg = cfg.multigrid != "none" and len(self.spaces) > 1
         if not use_mg:
             use_amg_pc = self._use_amg and cfg.multigrid != "none"
 
-            def linear_solve_jacobi(G, stash, big):
+            def jacobi_setup(stash, big):
+                mask = big["mask"]
+                d = jnp.where(mask, 1.0, level_diag(-1, stash, big))
+                return (1.0 / d,)
+
+            def linear_solve_jacobi(G, stash, big, pc):
                 """Jacobi CG (elasticity.c:515-518), or AMG-preconditioned
                 CG at degree 1 (PCGAMG, elasticity.c:519-521)."""
                 mask = big["mask"]
-                d = jnp.where(mask, 1.0, level_diag(-1, stash, big))
-                diag_inv = 1.0 / d
+                (diag_inv,) = pc
                 A = lambda v: jacobian_action_impl(v, stash, big)  # noqa: E731
                 if use_amg_pc:
                     M = lambda r: jnp.where(                        # noqa: E731
@@ -408,6 +426,7 @@ class ElasticityProblem:
                           maxiter=cfg.ksp_max_it)
                 return res.x, res.iters
 
+            self._pc_setup_j = jax.jit(jacobi_setup)
             self._lin_solve_j = jax.jit(linear_solve_jacobi)
             return
 
@@ -448,12 +467,10 @@ class ElasticityProblem:
                 )
             return mg_levels
 
-        def linear_solve_mg(G, stash, big):
+        def mg_setup(stash, big):
+            """Per-level diagonals + Chebyshev bounds: the KSPChebyshevEstEig
+            analog (elasticity.c:539-545), run once per Jacobian refresh."""
             mg_levels = build_mg_levels(stash, big)
-            coarse_apply = self._amg_apply if self._use_amg else None
-            vcycle = make_vcycle(mg_levels, smooth_its=cfg.smooth_its,
-                                 coarse_apply=coarse_apply)
-            coarse_data = big.get("amg") if self._use_amg else None
             diag_invs = []
             bounds = []
             for l in range(nlev):
@@ -466,12 +483,22 @@ class ElasticityProblem:
                     dinv, d.shape, d.dtype,
                 )
                 bounds.append((lo, hi))
+            return tuple(diag_invs), tuple(bounds)
+
+        def linear_solve_mg(G, stash, big, pc):
+            diag_invs, bounds = pc
+            mg_levels = build_mg_levels(stash, big)
+            coarse_apply = self._amg_apply if self._use_amg else None
+            vcycle = make_vcycle(mg_levels, smooth_its=cfg.smooth_its,
+                                 coarse_apply=coarse_apply)
+            coarse_data = big.get("amg") if self._use_amg else None
             A = lambda v: mg_levels[-1].apply(v, stash)   # noqa: E731
-            M = lambda r: vcycle(r, stash, diag_invs, bounds,   # noqa: E731
-                                 coarse_data)
+            M = lambda r: vcycle(r, stash, list(diag_invs),   # noqa: E731
+                                 list(bounds), coarse_data)
             res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol, maxiter=cfg.ksp_max_it)
             return res.x, res.iters
 
+        self._pc_setup_j = jax.jit(mg_setup)
         self._lin_solve_j = jax.jit(linear_solve_mg)
 
     def _level_mask(self, space: FESpace) -> jnp.ndarray:

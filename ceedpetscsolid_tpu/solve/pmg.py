@@ -8,9 +8,10 @@ solve. Everything is a fixed LINEAR operation in the input, so the cycle is
 a valid stationary preconditioner for the outer CG.
 
 The reference's coarse solve is one GAMG application on the assembled p=1
-matrix (elasticity.c:568-585); here the default TPU-native coarse solve is
-a heavier Chebyshev polynomial at p=1 (degree configurable), with the
-assembled-coarse path provided by solve/coarse.py.
+matrix (elasticity.c:568-585); here the default coarse solve is one V-cycle
+of the native smoothed-aggregation AMG (solve/amg.py + csrc/amg.cpp) on the
+analytically assembled p=1 CSR (ops/assembly.py), with a heavier Chebyshev
+polynomial at p=1 as the matrix-free fallback.
 """
 
 from __future__ import annotations
