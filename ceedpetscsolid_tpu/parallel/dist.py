@@ -119,6 +119,29 @@ def scatter_elements(ve, sa: ShardArrays):
     )(ve.reshape(c, -1))
 
 
+def gather_node_rows(local, sa: ShardArrays):
+    """(c, n_local) -> (nelem_max, P3*c) node-major rows, components
+    contiguous per node, element-local columns in PLAIN LATTICE order.
+
+    The per-shard analog of StructuredRestriction.gather_rows: feeds the
+    single-GEMM gradient pipeline (ops/structured.grad_gemm_matrices with
+    identity col_lattice), so the distributed step runs the same structured
+    hot path as the serial one (reference runs identical CeedOperator
+    kernels per rank, src/matops.c:26-60)."""
+    conn = _blk(sa.conn_local)
+    nelem_max, P3 = conn.shape
+    rows = jnp.take(local.T, conn.reshape(-1), axis=0)
+    return rows.reshape(nelem_max, P3 * local.shape[0])
+
+
+def scatter_node_rows(ve, sa: ShardArrays, c: int = 3):
+    """(nelem_max, P3*c) -> (c, n_local) owner-summed (adjoint of
+    gather_node_rows; trash slot collects element padding)."""
+    flat = ve.reshape(-1, c)
+    ids = _blk(sa.conn_local).reshape(-1)
+    return jax.ops.segment_sum(flat, ids, num_segments=sa.n_local).T
+
+
 def apply_local_op(owned, sa: ShardArrays, element_fn):
     """Full ApplyLocalCeedOp analog (matops.c:26-60):
     G2L -> element kernel -> scatter-add -> L2G(ADD)."""

@@ -22,6 +22,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import dist, mg as dmg
+from ..models.base import Mat3
+from ..ops.structured import grad_gemm_matrices
 from .dist import AXIS, ShardArrays
 from .partition import (
     SpacePartition,
@@ -63,6 +65,18 @@ class DistributedProblem:
         # qdata (10, nelem, Q3) -> (ndev, 10, nelem_max, Q3), zero padding
         qd = np.asarray(prob.qdata)
         self.qdata_sh = jnp.asarray(self._pad_qdata(qd))
+        self.composite = prob.composite
+        if self.composite:
+            # reduced-integration pressure operator data (Q=1 qdata +
+            # P->1 gradient GEMM, src/setuplibceed.c:404-506)
+            self.qdata_p_sh = jnp.asarray(
+                self._pad_qdata(np.asarray(prob.qdata_p)))
+            pb = prob.pfactory.fine.basis
+            self.sgrad_p = grad_gemm_matrices(
+                pb, np.arange(pb.P3), prob.dtype)
+        else:
+            self.qdata_p_sh = None
+            self.sgrad_p = None
 
         self.mask_sh = jnp.asarray(
             scatter_global_to_owned(self.part, np.asarray(prob.bc_mask))
@@ -109,11 +123,14 @@ class DistributedProblem:
         return gather_owned_to_global(self.part, np.asarray(owned))
 
     # ------------------------------------------------------------------
-    def refresh_amg(self, stash_host=None):
-        """Assemble the p=1 matrix and (re)build the native AMG hierarchy
-        used as the replicated coarse solve. Host-side, once per Newton
-        iteration for nonlinear models (FormJacobian analog)."""
-        from ..ops.assembly import CSRAssembler, make_element_matrices
+    def refresh_amg(self, u_owned, load: float):
+        """FormJacobian analog (misc.c:151-183), SPMD edition: the stash and
+        the p=1 element matrices are computed ON DEVICE in a sharded step;
+        only the small (nelem, 24, 24) element-matrix blocks come to the
+        host, where the fixed-pattern CSR is assembled and the native AMG
+        hierarchy refreshed (the coarse matrix is replicated, like the
+        reference's effectively-global GAMG coarse solve)."""
+        from ..ops.assembly import CSRAssembler
         from ..solve.amg import AMGPreconditioner
 
         prob = self.problem
@@ -124,14 +141,13 @@ class DistributedProblem:
                 np.asarray(prob._level_mask(space0)),
             )
             self._amg = AMGPreconditioner(self.dtype)
-            self._emfn = jax.jit(
-                lambda stash, qdata: make_element_matrices(
-                    self.model.jacobian_qf, self.phys,
-                    prob.factory.levels[0].basis, self.dtype,
-                )(qdata, stash)
-            )
-        stash = stash_host
-        em = np.asarray(self._emfn(stash, prob.qdata))
+        bc = self.to_owned(prob.bcs.values(
+            prob._coords, load).T.astype(np.asarray(u_owned).dtype))
+        em_sh = np.asarray(self._emats(u_owned, bc, self.F_sh * load,
+                                       self.mask_sh, self.qdata_sh, self.sa))
+        nd = em_sh.shape[-1]
+        valid = self.part.elem_valid.reshape(-1)
+        em = em_sh.reshape(-1, nd, nd)[valid]      # global element order
         self._amg.setup(self._assembler0.assemble(em))
         return self._amg.data
 
@@ -146,18 +162,44 @@ class DistributedProblem:
         ksp_max_it = min(cfg.ksp_max_it, 10_000)
         fine_basis = prob.factory.fine.basis
         use_mg = self.use_mg
+        composite = self.composite
+        Q3f = fine_basis.Q3
 
-        def elem_residual(ue, qdata):
-            du = fine_basis.apply_grad(ue)
-            dv, stash = model.residual_qf(du, qdata, phys)
-            return fine_basis.apply_grad_T(dv), stash
+        # Per-level single-GEMM gradient operators in PLAIN LATTICE column
+        # order (the shard-local conn is lattice-ordered): the same
+        # structured hot path as the serial pipeline (ops/structured.py),
+        # run per shard like the reference's per-rank CeedOperators
+        # (src/matops.c:26-60). Device arrays travel as step args.
+        if use_mg:
+            levels_static = self.levels
+            nlev = len(levels_static)
+            bases = [l.basis for l in levels_static]
+        else:
+            nlev = 1
+            bases = [fine_basis]
+        self._sgrads = tuple(
+            grad_gemm_matrices(b, np.arange(b.P3), self.dtype) for b in bases
+        )
 
-        def elem_jacobian(ue, qdata, stash, basis):
-            ddu = basis.apply_grad(ue)
-            ddv = model.jacobian_qf(ddu, qdata, stash, phys)
-            return basis.apply_grad_T(ddv)
+        def rows_residual(local, sa_, qd, sk):
+            """Single-GEMM residual pipeline on a shard's local E-rows."""
+            Kg, KgT = sk
+            due = dist.gather_node_rows(local, sa_) @ Kg
+            du = Mat3([due[:, k * Q3f:(k + 1) * Q3f] for k in range(9)])
+            dv, stash = model.residual_planes(du, qd, phys)
+            ve = jnp.concatenate(dv.m, axis=1) @ KgT
+            return dist.scatter_node_rows(ve, sa_), stash
 
-        def elem_diagonal(qdata, stash, basis):
+        def rows_jacobian(local, sa_, qd, stash, sk, planes, Q3=None):
+            Kg, KgT = sk
+            Q3 = Q3 or Q3f
+            due = dist.gather_node_rows(local, sa_) @ Kg
+            ddu = Mat3([due[:, k * Q3:(k + 1) * Q3] for k in range(9)])
+            ddv = planes(ddu, qd, stash, phys)
+            ve = jnp.concatenate(ddv.m, axis=1) @ KgT
+            return dist.scatter_node_rows(ve, sa_)
+
+        def elem_diagonal(qdata, stash, basis, jac_qf):
             BB = jnp.einsum("aqp,bqp->qpab", basis.grad, basis.grad)
             nelem, Q3 = qdata.shape[1], qdata.shape[2]
             diag_e = jnp.zeros((3, nelem, basis.P3), self.dtype)
@@ -165,42 +207,65 @@ class DistributedProblem:
                 for d2 in range(3):
                     du = jnp.zeros((3, 3, nelem, Q3), self.dtype)
                     du = du.at[c2, d2].set(1.0)
-                    ddv = model.jacobian_qf(du, qdata, stash, phys)
+                    ddv = jac_qf(du, qdata, stash, phys)
                     contrib = jnp.einsum("qpa,aeq->ep", BB[..., d2], ddv[c2])
                     diag_e = diag_e.at[c2].add(contrib)
             return diag_e
 
-        if use_mg:
-            levels_static = self.levels
-            nlev = len(levels_static)
-            amg_obj = None  # bound lazily in body via self._amg
+        if composite:
+            pbasis = prob.pfactory.fine.basis          # P -> 1 reduced
+            Q3p_ = pbasis.Q3                           # = 1 + qextra cubed
 
-        def body(u, bc_vals, F, mask, qdata, sa, lvls, amg_data):
+        def body(u, bc_vals, F, mask, qdata, qdata_p, sa, lvls, amg_data,
+                 sgrads, sgrad_p):
             qd = qdata[0]
+            qdp = qdata_p[0] if composite else None
             msk = mask
 
             def residual(uo):
                 u_in = jnp.where(msk, bc_vals, uo)
                 local = dist.g2l(u_in, sa)
-                ue = dist.gather_elements(local, sa)
-                ve, stash = elem_residual(ue, qd)
-                acc = dist.scatter_elements(ve, sa)
+                acc, stash = rows_residual(local, sa, qd, sgrads[-1])
+                if composite:
+                    Kgp, KgTp = sgrad_p
+                    due = dist.gather_node_rows(local, sa) @ Kgp
+                    dup = Mat3([due[:, k * Q3p_:(k + 1) * Q3p_]
+                                for k in range(9)])
+                    dvp, stash_p = model.pressure_residual_planes(
+                        dup, qdp, phys)
+                    vep = jnp.concatenate(dvp.m, axis=1) @ KgTp
+                    acc = acc + dist.scatter_node_rows(vep, sa)
+                    stash = (stash, stash_p)
                 r = dist.l2g_add(acc, sa)
                 return jnp.where(msk, 0.0, r - F), stash
 
             def jac_apply(v, stash):
                 v_in = jnp.where(msk, 0.0, v)
                 local = dist.g2l(v_in, sa)
-                ue = dist.gather_elements(local, sa)
-                ve = elem_jacobian(ue, qd, stash, fine_basis)
-                acc = dist.scatter_elements(ve, sa)
+                if composite:
+                    acc = rows_jacobian(local, sa, qd, stash[0], sgrads[-1],
+                                        model.jacobian_planes)
+                    acc = acc + rows_jacobian(
+                        local, sa, qdp, stash[1], sgrad_p,
+                        model.pressure_jacobian_planes, Q3=Q3p_)
+                else:
+                    acc = rows_jacobian(local, sa, qd, stash, sgrads[-1],
+                                        model.jacobian_planes)
                 jv = dist.l2g_add(acc, sa)
                 return jnp.where(msk, 0.0, jv)
 
             G, stash = residual(u)
 
             if not use_mg:
-                diag_e = elem_diagonal(qd, stash, fine_basis)
+                if composite:
+                    diag_e = elem_diagonal(qd, stash[0], fine_basis,
+                                           model.jacobian_qf)
+                    diag_p = elem_diagonal(qdp, stash[1], pbasis,
+                                           model.pressure_jacobian_qf)
+                    diag_e = diag_e + diag_p
+                else:
+                    diag_e = elem_diagonal(qd, stash, fine_basis,
+                                           model.jacobian_qf)
                 dacc = dist.scatter_elements(diag_e, sa)
                 diag = dist.l2g_add(dacc, sa)
                 diag = jnp.where(msk, 1.0, diag)
@@ -210,16 +275,14 @@ class DistributedProblem:
             else:
                 # --- per-level distributed machinery -------------------
                 def make_lvl_apply(l):
-                    basis = levels_static[l].basis
-
                     def A(v, lv=lvls[l]):
                         v_in = jnp.where(dist._blk(lv["mask"]), 0.0,
                                          dist._blk(v))[None]
                         local = dist.g2l(v_in, lv["sa"])
-                        ue = dist.gather_elements(local, lv["sa"])
-                        ve = elem_jacobian(ue, qd, stash, basis)
-                        acc = dist.scatter_elements(ve, lv["sa"])
-                        jv = dist.l2g_add(acc, lv["sa"])
+                        jv = dist.l2g_add(
+                            rows_jacobian(local, lv["sa"], qd, stash,
+                                          sgrads[l], model.jacobian_planes),
+                            lv["sa"])
                         return jnp.where(lv["mask"], 0.0, jv)
 
                     return A
@@ -229,7 +292,8 @@ class DistributedProblem:
                 for l in range(nlev):
                     lv = lvls[l]
                     basis = levels_static[l].basis
-                    diag_e = elem_diagonal(qd, stash, basis)
+                    diag_e = elem_diagonal(qd, stash, basis,
+                                           model.jacobian_qf)
                     dacc = dist.scatter_elements(diag_e, lv["sa"])
                     diag = dist.l2g_add(dacc, lv["sa"])
                     diag = jnp.where(lv["mask"], 1.0, diag)
@@ -356,7 +420,10 @@ class DistributedProblem:
 
         spec = P(AXIS)
         lvls_spec = spec if self.use_mg else None
-        in_specs = (spec, spec, spec, spec, spec, spec, lvls_spec, P())
+        qdp_spec = spec if composite else None
+        sgp_spec = P() if composite else None
+        in_specs = (spec, spec, spec, spec, spec, qdp_spec, spec, lvls_spec,
+                    P(), P(), sgp_spec)
         self._step = jax.jit(
             jax.shard_map(
                 body,
@@ -366,9 +433,31 @@ class DistributedProblem:
             )
         )
 
+        # --- sharded p=1 element-matrix step (AMG numeric refresh) -------
+        if use_mg:
+            from ..ops.assembly import make_element_matrices
+
+            em_fn = make_element_matrices(
+                model.jacobian_qf, phys, bases[0], self.dtype)
+
+            def emats_body(u, bc_vals, F, mask, qdata, sa, sk):
+                u_in = jnp.where(mask, bc_vals, u)
+                local = dist.g2l(u_in, sa)
+                _, stash = rows_residual(local, sa, qdata[0], sk)
+                return em_fn(qdata[0], stash)[None]
+
+            emats_sm = jax.jit(
+                jax.shard_map(
+                    emats_body,
+                    mesh=self.mesh,
+                    in_specs=(spec, spec, spec, spec, spec, spec, P()),
+                    out_specs=spec,
+                )
+            )
+            self._emats = lambda *a: emats_sm(*a, self._sgrads[-1])
+
     # ------------------------------------------------------------------
-    def newton_step(self, u_owned, load_increment: float, stash_for_amg=None,
-                    amg_data=None):
+    def newton_step(self, u_owned, load_increment: float, amg_data=None):
         prob = self.problem
         bc = self.to_owned(prob.bcs.values(
             prob._coords, load_increment
@@ -376,7 +465,8 @@ class DistributedProblem:
         F = self.F_sh * load_increment
         lvls = self.level_arrays if self.use_mg else None
         return self._step(u_owned, bc, F, self.mask_sh, self.qdata_sh,
-                          self.sa, lvls, amg_data)
+                          self.qdata_p_sh, self.sa, lvls, amg_data,
+                          self._sgrads, self.sgrad_p)
 
     def solve(self, num_increments=None, max_newton=50, rtol=1e-8):
         """Full load-continuation solve; returns (u_global, info dict)."""
@@ -391,11 +481,11 @@ class DistributedProblem:
             load = inc / n_inc
             rnorm_entry0 = None
             for _ in range(max_newton):
-                if self.use_mg:
+                if self.use_mg and (self.model.nonlinear or amg_data is None):
                     # FormJacobian analog: refresh the replicated AMG coarse
-                    # hierarchy from the current state before the solve
-                    stash = self._host_stash(u, load)
-                    amg_data = self.refresh_amg(stash)
+                    # hierarchy from the on-device stash; linear problems
+                    # assemble exactly once (problem.py does the same).
+                    amg_data = self.refresh_amg(u, load)
                 u, rnorm_in, rnorm, iters = self.newton_step(
                     u, load, amg_data=amg_data
                 )
@@ -415,14 +505,3 @@ class DistributedProblem:
             "ksp_iters": total_ksp,
             "rnorm": float(rnorm),
         }
-
-    def _host_stash(self, u_owned, load):
-        """Recompute the fine-quadrature stash on the host-global problem
-        (for the AMG element matrices)."""
-        prob = self.problem
-        u_glob = jnp.asarray(self.to_global(u_owned), prob.dtype)
-        bc = prob.bc_values(load)
-        _, stash = prob._nonlinear_residual(u_glob, bc, prob.F * load)
-        # Pallas-path stash is a padded array; re-expose as Mat3 planes
-        # for the unstructured element-matrix kernels.
-        return prob.factory.stash_view(stash)

@@ -4,7 +4,7 @@ Isolates: gather_rows / fused(GEMM+physics+GEMM^T) / scatter_rows, plus the
 full residual and jacobian, each timed inside one jitted scan with a data
 dependency (measures steady-state op throughput, not dispatch latency).
 
-Usage: python scripts/profile_stages2.py [faces] [degree] [problem]
+Usage: python scripts/profile_stages2.py [faces] [degree] [problem] [pallas01]
 """
 
 import sys
@@ -43,11 +43,23 @@ def main():
     faces = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     degree = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     problem = sys.argv[3] if len(sys.argv) > 3 else "hyperFS"
+    force_pallas = (bool(int(sys.argv[4]))
+                    if len(sys.argv) > 4 else None)
 
     if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
 
     from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+    from ceedpetscsolid_tpu.ops import operator as op_mod
+
+    if force_pallas is not None:
+        _orig_init = op_mod.OperatorFactory.__init__
+
+        def _patched(self, *a, **kw):
+            kw["use_pallas"] = force_pallas
+            _orig_init(self, *a, **kw)
+
+        op_mod.OperatorFactory.__init__ = _patched
 
     cfg = Config(problem=problem, degree=degree, nu=0.3, E=1.0,
                  test_mode=True, box_faces=(faces,) * 3,
@@ -76,27 +88,34 @@ def main():
 
     # stages
     t_gather = timed(lambda u: sr.gather_rows(u.T), u0)
-    ue0 = jax.block_until_ready(sr.gather_rows(u0.T))
+    rows0 = jax.block_until_ready(sr.gather_rows(u0.T))
     e_pad = prob.factory.e_pad
-    if prob.factory.use_pallas:
-        ue0 = jnp.pad(ue0, ((0, e_pad - nelem), (0, 0)))
-    t_scatter = timed(lambda ve: sr.scatter_rows(ve[:nelem]), ue0)
+    t_scatter = timed(lambda ve: sr.scatter_rows(ve), rows0)
 
     if prob.factory.use_pallas:
         from ceedpetscsolid_tpu.ops import pallas_apply
+        P3 = prob.factory.fine.basis.P3
         fused = pallas_apply.make_fused_apply(
             prob.model.residual_planes, prob.phys,
-            prob.factory.fine.basis.P3 * 3, prob.factory.Q3,
+            P3, prob.factory.Q3,
             nelem, prob.dtype, stash_in=False, stash_out=True)
         Kg, KgT = sk
         qds = big["qdata_s"]
+        ue0 = jax.block_until_ready(
+            pallas_apply.pack_rows(rows0, e_pad, fused.P3p))
+        t_pack = timed(
+            lambda r: pallas_apply.pack_rows(r, e_pad, fused.P3p), rows0)
         t_fused = timed(lambda ue: fused(ue, qds, Kg, KgT)[0], ue0)
+        t_unpack = timed(
+            lambda o: pallas_apply.unpack_rows(o, nelem, P3), ue0)
+        print(f"pack     : {t_pack*1e3:8.3f} ms")
         print(f"fused(GEMM+phys+GEMM^T): {t_fused*1e3:8.3f} ms")
+        print(f"unpack   : {t_unpack*1e3:8.3f} ms")
     else:
         Q3 = prob.factory.Q3
         Kg, KgT = sk
-        t_g1 = timed(lambda ue: ue @ Kg, ue0)
-        due0 = jax.block_until_ready(ue0 @ Kg)
+        t_g1 = timed(lambda ue: ue @ Kg, rows0)
+        due0 = jax.block_until_ready(rows0 @ Kg)
         from ceedpetscsolid_tpu.models.base import Mat3
         def phys_fn(due):
             du = Mat3([due[:, k * Q3:(k + 1) * Q3] for k in range(9)])

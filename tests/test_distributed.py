@@ -66,3 +66,42 @@ def test_distributed_mg_matches_serial():
     u, dinfo = dp.solve()
     assert dinfo["ksp_iters"] <= info.ksp_iters + 2
     assert np.abs(u - np.asarray(info.u)).max() < 1e-12
+
+
+def test_distributed_nonlinear_solve_matches_serial():
+    """Converged hyperFS solve (p-MG + AMG refreshed from the ON-DEVICE
+    stash) matches the serial solve on 8 virtual devices."""
+    from ceedpetscsolid_tpu.parallel.driver import DistributedProblem
+    from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = Config(problem="hyperFS", degree=2, nu=0.3, E=1.0, test_mode=True,
+                 box_faces=(3, 3, 3), multigrid="logarithmic",
+                 num_increments=2)
+    prob = ElasticityProblem(cfg)
+    info = prob.solve()
+    dp = DistributedProblem(prob, ndev=8)
+    assert dp.use_mg
+    u, dinfo = dp.solve()
+    assert dinfo["rnorm"] < 1e-10
+    assert np.abs(u - np.asarray(info.u)).max() < 1e-10
+
+
+def test_distributed_composite_matches_serial():
+    """hyperFSIncomp (composite mu + reduced-integration pressure) under
+    shard_map: both operators run in the distributed step."""
+    from ceedpetscsolid_tpu.parallel.driver import DistributedProblem
+    from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = Config(problem="hyperFSIncomp", degree=2, nu=0.3, E=1.0,
+                 test_mode=True, box_faces=(3, 3, 3), multigrid="none",
+                 num_increments=2)
+    prob = ElasticityProblem(cfg)
+    info = prob.solve()
+    dp = DistributedProblem(prob, ndev=8)
+    u, dinfo = dp.solve()
+    assert dinfo["rnorm"] < 1e-10
+    assert np.abs(u - np.asarray(info.u)).max() < 1e-10
