@@ -23,3 +23,40 @@ jit-compiled; f64 on CPU for verification, f32 (+f64 reductions) on TPU.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache.
+
+    On remote/tunneled TPU backends every jit compile pays a multi-second
+    round trip (measured ~10 s each; problem setup triggers ~70 small
+    compiles, i.e. ~10 min of pure compile latency per process). The
+    on-disk cache makes repeat runs skip all of it. Opt out with
+    CPSTPU_NO_CACHE=1."""
+    import os
+
+    if os.environ.get("CPSTPU_NO_CACHE"):
+        return
+    # CPU compiles are cheap and CPU AOT cache reloads spam feature-mismatch
+    # warnings: cache accelerator backends only (checked WITHOUT initializing
+    # a backend — this runs at import time)
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return
+    import jax
+
+    if str(jax.config.jax_platforms or "").lower() == "cpu":
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/ceedpetscsolid_tpu/xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass          # cache is an optimization, never a failure
+
+
+_enable_compilation_cache()

@@ -101,13 +101,32 @@ def build_config(opts: dict):
         units_meter=get("units_meter", float, 1.0),
         units_second=get("units_second", float, 1.0),
         units_kilogram=get("units_kilogram", float, 1.0),
+        # hierarchical solver overrides (E4): `outer_*` configures the
+        # Krylov solve (elasticity.c:508-513), `coarse_*` the coarse solve
+        # (elasticity.c:577-582), `outer_mg_*` the level smoothers
+        # (PCMGSetNumberSmooth(3), elasticity.c:589)
         ksp_rtol=get("outer_ksp_rtol", float, None),
+        ksp_max_it=get("outer_ksp_max_it", int, 10_000),
+        smooth_its=get("outer_mg_smooth_its", int, 3),
+        coarse_solve=get("coarse_pc_type", str, "amg"),
+        coarse_cheb_its=get("coarse_ksp_max_it", int, 30),
     )
+    if cfg.coarse_solve == "gamg":        # PETSc name for the AMG coarse PC
+        cfg.coarse_solve = "amg"
+    # Newton (SNES) overrides
+    cfg.newton.rtol = get("snes_rtol", float, cfg.newton.rtol)
+    cfg.newton.atol = get("snes_atol", float, cfg.newton.atol)
+    cfg.newton.max_it = get("snes_max_it", int, cfg.newton.max_it)
+    ls = get("snes_linesearch_type", str, cfg.newton.linesearch)
+    if ls not in ("cp", "basic"):
+        raise SystemExit(f"unknown -snes_linesearch_type {ls!r}")
+    cfg.newton.linesearch = ls
     view_soln = get("view_soln", _bool, False)
     view_final = get("view_final_soln", _bool, False)
     snes_monitor = get("snes_monitor", _bool, False)
+    snes_view = get("snes_view", _bool, False)
     log_view = get("log_view", _bool, False)
-    known.update({"ceed", "ceed_fine", "memtype", "snes_view"})
+    known.update({"ceed", "ceed_fine", "memtype"})
     unknown = set(opts) - known
     if unknown:
         print(f"WARNING: ignoring unknown options: {sorted(unknown)}", file=sys.stderr)
@@ -120,7 +139,8 @@ def build_config(opts: dict):
     if not cfg.test_mode and not bc_clamp and cfg.forcing != "mms":
         raise SystemExit("-boundary options needed")
     return cfg, dict(view_soln=view_soln, view_final_soln=view_final,
-                     snes_monitor=snes_monitor, log_view=log_view)
+                     snes_monitor=snes_monitor, snes_view=snes_view,
+                     log_view=log_view)
 
 
 def main(argv=None):
@@ -148,6 +168,8 @@ def main(argv=None):
     from .problem import ElasticityProblem
 
     prob = ElasticityProblem(cfg)
+    if viewopts["snes_view"]:
+        _print_solver_view(cfg, prob)
 
     def monitor(inc, load, res):
         if viewopts["snes_monitor"]:
@@ -185,6 +207,36 @@ def main(argv=None):
             if test_mode:
                 return 1
     return 0
+
+
+def _print_solver_view(cfg, prob):
+    """-snes_view analog: echo the assembled solver tree (the PC/PCMG
+    configuration echo of elasticity.c:716-748)."""
+    nlev = len(prob.level_degrees)
+    print("SNES Object: newton")
+    print(f"  line search: {cfg.newton.linesearch} "
+          f"(max {cfg.newton.ls_max_it} secant steps)")
+    print(f"  rtol {cfg.newton.rtol:g} atol {cfg.newton.atol:g} "
+          f"max_it {cfg.newton.max_it}")
+    print("  KSP Object: (outer_) cg, natural norm")
+    print(f"    rtol {cfg.ksp_rtol:g} max_it {cfg.ksp_max_it}")
+    if cfg.multigrid == "none" or nlev == 1:
+        pc = "gamg(native SA-AMG)" if getattr(prob, "_use_amg", False) \
+            else "jacobi"
+        print(f"  PC Object: {pc}")
+        return
+    print(f"  PC Object: mg (p-multigrid, {cfg.multigrid} schedule, "
+          f"levels p = {prob.level_degrees})")
+    print(f"    smoother: chebyshev({cfg.smooth_its}) + jacobi, "
+          "eig bounds 0.1/1.1 * lambda_max (est per Jacobian)")
+    if cfg.nu_smoother:
+        print(f"    smoother physics: nu = {cfg.nu_smoother}")
+    if cfg.coarse_solve == "amg":
+        print("    coarse: (coarse_) native SA-AMG V-cycle on assembled "
+              "p=1 CSR")
+    else:
+        print(f"    coarse: (coarse_) chebyshev({cfg.coarse_cheb_its}), "
+              "matrix-free p=1")
 
 
 def _print_summary(cfg, prob, info):

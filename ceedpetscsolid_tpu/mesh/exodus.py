@@ -10,6 +10,12 @@ vertex numbering is compacted.
 
 Sidesets become face sets: (element, local face) pairs via the standard
 Exodus HEX side numbering (mesh/core.py EXODUS_SIDE_TO_FACE).
+
+Node sets (*_ns meshes) are intentionally NOT mapped to BC sets: the
+reference registers essential BCs only on the "Face Sets" label
+(DMAddBoundary, src/setupdm.c:176-187), so node-set meshes are not usable
+with -bc_clamp there either. HDF5-based Exodus files are not supported
+(netCDF-3 classic only); convert with `ncks -3` if needed.
 """
 
 from __future__ import annotations

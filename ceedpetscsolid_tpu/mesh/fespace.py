@@ -147,6 +147,14 @@ class FESpace:
 
     def face_set_nodes(self, face_set_id: int) -> np.ndarray:
         if face_set_id not in self._bnodes_cache:
+            if face_set_id not in self.mesh.face_sets:
+                raise KeyError(
+                    f"face set {face_set_id} not in mesh (available: "
+                    f"{sorted(self.mesh.face_sets)}). Note: *_ns meshes "
+                    "carry node sets, not sidesets; like the reference "
+                    "(DMAddBoundary on 'Face Sets', setupdm.c:176-187), "
+                    "-bc_clamp requires sideset (*_ss) meshes."
+                )
             self._bnodes_cache[face_set_id] = self.boundary_nodes(
                 self.mesh.face_sets[face_set_id]
             )

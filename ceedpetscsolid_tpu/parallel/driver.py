@@ -385,22 +385,24 @@ class DistributedProblem:
             tol = jnp.sqrt(jnp.abs(rz)) * ksp_rtol
 
             def cond(s):
-                x, r, z, p, rz, it = s
-                return (jnp.sqrt(jnp.abs(rz)) > tol) & (it < ksp_max_it)
+                x, r, z, p, rz, it, ok = s
+                return ok & (jnp.sqrt(jnp.abs(rz)) > tol) & (it < ksp_max_it)
 
             def bodyf(s):
-                x, r, z, p, rz, it = s
+                x, r, z, p, rz, it, ok = s
                 Ap = jac_apply(p, stash)
-                alpha = rz / dist.ddot(p, Ap)
+                pAp = dist.ddot(p, Ap)
+                good = pAp > 0        # KSP_DIVERGED_INDEFINITE_MAT analog
+                alpha = jnp.where(good, rz / pAp, 0.0)
                 x = x + alpha * p
                 r = r - alpha * Ap
                 z = M(r)
                 rz2 = dist.ddot(r, z)
                 p = z + (rz2 / rz) * p
-                return (x, r, z, p, rz2, it + 1)
+                return (x, r, z, p, rz2, it + 1, good)
 
-            x, r, z, p, rz, iters = jax.lax.while_loop(
-                cond, bodyf, (x, r, z, z, rz, jnp.int32(0))
+            x, r, z, p, rz, iters, _ok = jax.lax.while_loop(
+                cond, bodyf, (x, r, z, z, rz, jnp.int32(0), jnp.bool_(True))
             )
             d = x
 
@@ -480,6 +482,8 @@ class DistributedProblem:
         for inc in range(1, n_inc + 1):
             load = inc / n_inc
             rnorm_entry0 = None
+            r_prev = None
+            stalls = 0
             for _ in range(max_newton):
                 if self.use_mg and (self.model.nonlinear or amg_data is None):
                     # FormJacobian analog: refresh the replicated AMG coarse
@@ -495,6 +499,12 @@ class DistributedProblem:
                     rnorm_entry0 = max(float(rnorm_in), 1e-300)
                 r = float(rnorm)
                 if r < 1e-50 or r < rtol * rnorm_entry0:
+                    break
+                # fp-noise-floor stagnation exit (see solve/newton.py)
+                stalls = stalls + 1 if (r_prev is not None
+                                        and r > 0.99 * r_prev) else 0
+                r_prev = r
+                if stalls >= 2:
                     break
         u_np = self.to_global(u)                       # (3, num_nodes)
         bc_vals = self.problem.bcs.values(self.problem._coords, 1.0).T

@@ -61,6 +61,16 @@ class SpacePartition:
     def trash_slot(self) -> int:
         return self.n_local - 1
 
+    def halo_stats(self) -> dict:
+        """Ghost-exchange volume per shard (partition quality metric)."""
+        ghosts = self.pair_valid_holder.sum(axis=(1, 2))      # per holder
+        return {
+            "ghosts_per_shard": ghosts.tolist(),
+            "total_ghosts": int(ghosts.sum()),
+            "max_ghosts": int(ghosts.max()),
+            "owned_per_shard": self.owned_valid.sum(axis=1).tolist(),
+        }
+
 
 def partition_space(conn: np.ndarray, num_nodes: int, ndev: int) -> SpacePartition:
     """Partition elements into ndev contiguous blocks and build exchange maps.

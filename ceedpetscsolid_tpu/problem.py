@@ -61,6 +61,7 @@ class Config:
     ksp_max_it: int = 10_000
     smooth_its: int = 3                         # PCMGSetNumberSmooth(3)
     coarse_solve: str = "amg"                   # amg (GAMG analog) | chebyshev
+    coarse_cheb_its: int = 30                   # chebyshev coarse fallback
     newton: NewtonOptions = field(default_factory=NewtonOptions)
 
     def __post_init__(self):
@@ -104,8 +105,15 @@ class ElasticityProblem:
             if mesh is None:
                 if config.mesh_file:
                     from .mesh.exodus import read_exodus
+                    from .mesh.reorder import reorder_mesh
 
-                    mesh = read_exodus(config.mesh_file)
+                    # BFS element + first-use vertex locality reordering
+                    # (the partitioner-quality role of DMPlexDistribute,
+                    # setupdm.c:57-64): contiguous element blocks become
+                    # spatially compact, shrinking gather spread and
+                    # partition halos. Box meshes keep lattice order (the
+                    # index-free restriction of ops/lattice.py needs it).
+                    mesh = reorder_mesh(read_exodus(config.mesh_file))
                 else:
                     mesh = box_mesh(config.box_faces, config.box_lower,
                                     config.box_upper)
@@ -490,6 +498,7 @@ class ElasticityProblem:
             mg_levels = build_mg_levels(stash, big)
             coarse_apply = self._amg_apply if self._use_amg else None
             vcycle = make_vcycle(mg_levels, smooth_its=cfg.smooth_its,
+                                 coarse_cheb_its=cfg.coarse_cheb_its,
                                  coarse_apply=coarse_apply)
             coarse_data = big.get("amg") if self._use_amg else None
             A = lambda v: mg_levels[-1].apply(v, stash)   # noqa: E731
@@ -563,13 +572,12 @@ class ElasticityProblem:
     # Postprocessing (L6)
     # ------------------------------------------------------------------
     def mms_error(self, u: jnp.ndarray) -> float:
-        """Relative L2 error vs MMS true solution over free DOFs
-        (elasticity.c:770-816; true solution at nodes, setuplibceed.c:592-643)."""
+        """Relative L2 error vs MMS true solution over the WHOLE vector,
+        boundary DOFs included, matching the reference's norm of U - U*
+        (elasticity.c:800-804; true solution at nodes, setuplibceed.c:592-643).
+        `u` must carry the inserted boundary values (SolveInfo.u does)."""
         u_star = mms.true_solution(jnp.asarray(self._coords, self.dtype)).T
-        free = self.free_mask
-        diff = jnp.where(free, u - u_star, 0.0)
-        denom = jnp.where(free, u_star, 0.0)
-        return float(jnp.linalg.norm(diff) / jnp.linalg.norm(denom))
+        return float(jnp.linalg.norm(u - u_star) / jnp.linalg.norm(u_star))
 
     def strain_energy(self, u: jnp.ndarray) -> float:
         """Total strain energy (matops.c:247-296)."""

@@ -125,7 +125,18 @@ class AMGPreconditioner:
         nc = levels[-1]["n"]
         dense = np.zeros(nc * nc, np.float64)
         L.amg_coarse_dense(h, dense)
-        coarse_inv = np.linalg.pinv(dense.reshape(nc, nc))
+        M = dense.reshape(nc, nc)
+        if not np.isfinite(M).all():
+            raise FloatingPointError(
+                "AMG coarse matrix has non-finite entries (check the "
+                "element matrices / stash feeding CSRAssembler)")
+        # Galerkin coarse matrices are symmetric: the eigh-based pinv is
+        # both faster and robust where dgesdd occasionally fails to
+        # converge on ill-conditioned inputs
+        try:
+            coarse_inv = np.linalg.pinv(M, hermitian=True)
+        except np.linalg.LinAlgError:
+            coarse_inv = np.linalg.pinv(M + 1e-12 * np.eye(nc) * np.abs(M).max())
         for e in levels:
             e.pop("n")          # keep the pytree numeric-leaf only
         self.data = {"levels": levels,

@@ -48,25 +48,30 @@ def pcg(
     tol = jnp.maximum(rtol * norm0, atol)
 
     def cond(state):
-        x, r, z, p, rz, it = state
-        return (jnp.sqrt(jnp.abs(rz)) > tol) & (it < maxiter)
+        x, r, z, p, rz, it, ok = state
+        return ok & (jnp.sqrt(jnp.abs(rz)) > tol) & (it < maxiter)
 
     def body(state):
-        x, r, z, p, rz, it = state
+        x, r, z, p, rz, it, ok = state
         Ap = A(p)
-        alpha = rz / _dot(p, Ap)
+        pAp = _dot(p, Ap)
+        # KSP_DIVERGED_INDEFINITE_MAT analog: a Newton linearization can be
+        # indefinite far from the solution; bail instead of looping to
+        # maxiter on garbage (the outer Newton divergence check handles it)
+        good = pAp > 0
+        alpha = jnp.where(good, rz / pAp, 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M_inv(r)
         rz_new = _dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1)
+        return (x, r, z, p, rz_new, it + 1, good)
 
-    state = (x, r, z, r * 0 + z, rz, jnp.int32(0))
-    x, r, z, p, rz, it = jax.lax.while_loop(cond, body, state)
+    state = (x, r, z, r * 0 + z, rz, jnp.int32(0), jnp.bool_(True))
+    x, r, z, p, rz, it, ok = jax.lax.while_loop(cond, body, state)
     rnorm = jnp.sqrt(jnp.abs(rz))
-    return CGResult(x=x, iters=it, rnorm=rnorm, converged=rnorm <= tol)
+    return CGResult(x=x, iters=it, rnorm=rnorm, converged=ok & (rnorm <= tol))
 
 
 def chebyshev(

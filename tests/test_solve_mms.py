@@ -23,11 +23,15 @@ def test_reference_smoke_config():
 
 
 def test_mms_convergence_with_degree():
-    """L2 error decreases with p on a fixed box (README.rst:122-126)."""
+    """L2 error decreases with p on a fixed box (README.rst:122-126).
+
+    3x3x3 box: on smaller boxes the whole-vector norm (reference
+    elasticity.c:800-804, boundary included) is dominated by the exact
+    boundary values and hides the interior convergence."""
     errs = []
     for degree in (1, 2, 3):
         cfg = Config(problem="linElas", degree=degree, nu=0.3, E=1.0,
-                     test_mode=True, box_faces=(2, 2, 2))
+                     test_mode=True, box_faces=(3, 3, 3))
         prob = ElasticityProblem(cfg)
         info = prob.solve()
         errs.append(prob.mms_error(info.u))
