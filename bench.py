@@ -99,23 +99,21 @@ def residual_bench():
 
 def solve_bench():
     """Full-solve DoFs/sec (dofs * KSP_iters / time, elasticity.c:763-764):
-    hyperFS degree 4, p-MG (logarithmic) + AMG coarse, load continuation."""
+    hyperFS degree 4 with the full p-MG + AMG-coarse stack, Newton + CP
+    line search, 2 load increments, 16^3 box (1.6M DoF). MMS forcing so the
+    f32 solve has a well-conditioned exact-solution target (stiff unstruct-
+    ured twist configs need f64 CG — see results/BASELINE_RESULTS.json
+    config4)."""
     from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
 
-    mesh_file = "/root/reference/meshes/cyl-hole_3140e_2ss_us.exo"
     backend = jax.default_backend()
-    if backend == "cpu" or not os.path.exists(mesh_file):
+    if backend == "cpu":
         return None
-    # sidesets 998 (fixed end) and 999 (displaced end), per the reference's
-    # documented example (README.rst:63: -bc_clamp 998,999
-    # -bc_clamp_998_translate 0,-0.5,1)
     cfg = Config(
-        problem="hyperFS", degree=4, nu=0.3, E=1e6,
-        mesh_file=mesh_file, forcing="none",
-        bc_clamp=(998, 999), num_increments=5,
-        bc_clamp_translate={998: (0.0, -0.5, 1.0)},
-        ksp_rtol=1e-5,
+        problem="hyperFS", degree=4, nu=0.3, E=1.0, test_mode=True,
+        box_faces=(16, 16, 16), num_increments=2, ksp_rtol=1e-6,
     )
+    cfg.newton.rtol = 1e-6
     prob = ElasticityProblem(cfg)
     info = prob.solve()
     return {
@@ -126,8 +124,7 @@ def solve_bench():
         "solve_time_s": round(info.solve_time, 3),
         "solve_rnorm": float(info.rnorm),
         "solve_converged": bool(info.converged),
-        "solve_config": "hyperFS deg4 cyl-hole_3140e 2ss clamp t+r, "
-                        "pMG+AMG, 5 increments",
+        "solve_config": "hyperFS deg4 box16 MMS, pMG+AMG, 2 increments",
     }
 
 

@@ -33,7 +33,12 @@ from .basis import Basis3D
 from . import pallas_apply
 from .lattice import LatticeRestriction
 from .restriction import Restriction
-from .structured import StructuredMaps, StructuredRestriction, grad_gemm_matrices
+from .structured import (
+    StructuredMaps,
+    StructuredRestriction,
+    grad_gemm_matrices,
+    grad_gemm_matrices_cm,
+)
 
 
 def default_dtype():
@@ -79,6 +84,7 @@ class LevelOps:
     basis: Basis3D          # P_level -> Q_fine (Gauss)
     srestr: StructuredRestriction | None = None
     sgrad: tuple | None = None          # (Kg, KgT) single-GEMM gradient op
+    lattice: bool = False   # box mesh: index-free component-major restriction
 
 
 class OperatorFactory:
@@ -118,7 +124,8 @@ class OperatorFactory:
         self.levels = []
         for s in spaces:
             basis = Basis3D.create(s.degree + 1, self.Q1d, "gauss", self.dtype)
-            if s.lattice_dims is not None:
+            lattice = s.lattice_dims is not None
+            if lattice:
                 # box mesh: index-free structured restriction; element-local
                 # columns in plain lattice order (identity col_lattice)
                 lr = LatticeRestriction(s.lattice_dims, s.degree)
@@ -130,14 +137,16 @@ class OperatorFactory:
                 restr = Restriction(s.conn, s.num_nodes,
                                     node_ranges=s.entity_node_ranges())
                 srestr = StructuredRestriction(smaps)
-            sgrad = (
-                pallas_apply.padded_grad_matrices(basis, col, self.dtype)
-                if use_pallas
-                else grad_gemm_matrices(basis, col, self.dtype)
-            )
+            if use_pallas:
+                sgrad = pallas_apply.padded_grad_matrices(basis, col, self.dtype)
+            elif lattice:
+                # component-batched GEMM on the (3, e, P3) lattice E-vector
+                sgrad = grad_gemm_matrices_cm(basis, col, self.dtype)
+            else:
+                sgrad = grad_gemm_matrices(basis, col, self.dtype)
             self.levels.append(LevelOps(
                 space=s, restr=restr, basis=basis, srestr=srestr,
-                sgrad=sgrad,
+                sgrad=sgrad, lattice=lattice,
             ))
         self.fine = self.levels[-1]
         mesh = fine.mesh
@@ -215,27 +224,56 @@ class OperatorFactory:
         path it is the usual Mat3 of (nelem, Q3) planes.
         """
         Q3 = self.fine.basis.Q3
+        nelem, e_pad = self.nelem, self.e_pad
+        P3 = self.fine.basis.P3
+        lattice = self.fine.lattice
         if self.use_pallas:
             has_stash = _has_stash(residual_planes, phys)
-            P3 = self.fine.basis.P3
             fused = pallas_apply.make_fused_apply(
                 residual_planes, phys, P3, Q3,
                 self.nelem, self.dtype, stash_in=False, stash_out=has_stash,
                 block_elems=self.block_elems,
                 interpret=self.pallas_interpret,
             )
-            nelem, e_pad = self.nelem, self.e_pad
 
             def apply_pl(u, qdata_s, sr, sk):
                 Kg, KgT = sk
-                ue = pallas_apply.pack_rows(sr.gather_rows(u.T),
-                                            e_pad, fused.P3p)
+                if lattice:    # gather IS the kernel layout; pad only
+                    ue = jnp.pad(sr.gather(u),
+                                 ((0, 0), (0, e_pad - nelem),
+                                  (0, fused.P3p - P3)))
+                else:
+                    ue = pallas_apply.pack_rows(sr.gather_rows(u.T),
+                                                e_pad, fused.P3p)
                 out = fused(ue, qdata_s, Kg, KgT)
                 ve3, stash = out if has_stash else (out, None)
+                if lattice:
+                    return sr.scatter_add(ve3[:, :nelem, :P3]), stash
                 ve = pallas_apply.unpack_rows(ve3, nelem, P3)
                 return sr.scatter_rows(ve).T, stash
 
             return apply_pl
+
+        if lattice:
+            def apply_cm(u, qdata, sr, sk):
+                """Component-batched: (3e, P3) @ (P3, 3Q3), planes as
+                views of the c-block/d-column slices (3x fewer MXU flops
+                than the interleaved factorization)."""
+                Kg3, Kg3T = sk
+                ue = sr.gather(u)                          # (3, e, P3)
+                due = (ue.reshape(3 * nelem, P3) @ Kg3).reshape(
+                    3, nelem, 3 * Q3)
+                du = Mat3([due[c, :, d * Q3:(d + 1) * Q3]
+                           for c in range(3) for d in range(3)])
+                dv, stash = residual_planes(du, qdata, phys)
+                dv3 = jnp.stack(
+                    [jnp.concatenate(dv.m[3 * c:3 * c + 3], axis=1)
+                     for c in range(3)])                   # (3, e, 3Q3)
+                ve = (dv3.reshape(3 * nelem, 3 * Q3) @ Kg3T).reshape(
+                    3, nelem, P3)
+                return sr.scatter_add(ve), stash
+
+            return apply_cm
 
         def apply(u, qdata, sr, sk):
             Kg, KgT = sk
@@ -251,27 +289,53 @@ class OperatorFactory:
                                  level: int = -1) -> Callable:
         """(v, qdata_s, stash, srestr_level, (Kg, KgT)_level) -> J@v."""
         Q3 = self.levels[level].basis.Q3
+        P3 = self.levels[level].basis.P3
+        nelem, e_pad = self.nelem, self.e_pad
+        lattice = self.levels[level].lattice
         if self.use_pallas:
             stash_in = _needs_stash(jacobian_planes, phys)
-            P3 = self.levels[level].basis.P3
             fused = pallas_apply.make_fused_apply(
                 jacobian_planes, phys, P3, Q3,
                 self.nelem, self.dtype, jacobian=True, stash_in=stash_in,
                 block_elems=self.block_elems,
                 interpret=self.pallas_interpret,
             )
-            nelem, e_pad = self.nelem, self.e_pad
 
             def japply_pl(v, qdata_s, stash, sr, sk):
                 Kg, KgT = sk
-                ue = pallas_apply.pack_rows(sr.gather_rows(v.T),
-                                            e_pad, fused.P3p)
+                if lattice:
+                    ue = jnp.pad(sr.gather(v),
+                                 ((0, 0), (0, e_pad - nelem),
+                                  (0, fused.P3p - P3)))
+                else:
+                    ue = pallas_apply.pack_rows(sr.gather_rows(v.T),
+                                                e_pad, fused.P3p)
                 ve3 = fused(ue, qdata_s, Kg, KgT,
                             stash if stash_in else None)
+                if lattice:
+                    return sr.scatter_add(ve3[:, :nelem, :P3])
                 ve = pallas_apply.unpack_rows(ve3, nelem, P3)
                 return sr.scatter_rows(ve).T
 
             return japply_pl
+
+        if lattice:
+            def japply_cm(v, qdata, stash, sr, sk):
+                Kg3, Kg3T = sk
+                ue = sr.gather(v)
+                due = (ue.reshape(3 * nelem, P3) @ Kg3).reshape(
+                    3, nelem, 3 * Q3)
+                ddu = Mat3([due[c, :, d * Q3:(d + 1) * Q3]
+                            for c in range(3) for d in range(3)])
+                ddv = jacobian_planes(ddu, qdata, stash, phys)
+                dv3 = jnp.stack(
+                    [jnp.concatenate(ddv.m[3 * c:3 * c + 3], axis=1)
+                     for c in range(3)])
+                ve = (dv3.reshape(3 * nelem, 3 * Q3) @ Kg3T).reshape(
+                    3, nelem, P3)
+                return sr.scatter_add(ve)
+
+            return japply_cm
 
         def apply(v, qdata, stash, sr, sk):
             Kg, KgT = sk

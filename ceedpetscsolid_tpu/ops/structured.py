@@ -159,6 +159,22 @@ class StructuredMaps:
                 "interior nodes not element-ordered"
 
 
+def grad_gemm_matrices_cm(basis, col_lattice: np.ndarray, dtype):
+    """Component-BATCHED single-GEMM gradient operator.
+
+    Kg3: (P3, 3*Q3) with columns (d, q); applying to component-major
+    E-vectors (3*e, P3) @ Kg3 gives (3*e, 3*Q3) whose (c-block, d-column)
+    slices are the nine du[c,d] (e, Q3) planes — 3x fewer MXU flops than
+    the interleaved (P3*3, 9*Q3) factorization (no structurally-zero
+    rows). Returns (Kg3, Kg3^T)."""
+    grad = np.asarray(basis.grad, np.float64)          # (3, Q3, P3) lattice
+    Q3, P3 = grad.shape[1], grad.shape[2]
+    Kg = np.zeros((P3, 3 * Q3))
+    for d in range(3):
+        Kg[:, d * Q3:(d + 1) * Q3] = grad[d][:, col_lattice].T
+    return jnp.asarray(Kg, dtype), jnp.asarray(np.ascontiguousarray(Kg.T), dtype)
+
+
 def grad_gemm_matrices(basis, col_lattice: np.ndarray, dtype):
     """Single-GEMM gradient operator in class-column order.
 

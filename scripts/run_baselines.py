@@ -107,9 +107,12 @@ def config3():
 
 def config4():
     """hyperFS on cyl-hole_3140e_2ss_us.exo, degree 4, clamp translate +
-    rotate (BASELINE config 4). Practical on the TPU backend."""
+    rotate (BASELINE config 4). Runs in f64 (emulated on TPU, ~10x the f32
+    apply cost): the finite-strain twist Jacobian at degree 4 has a
+    condition number f32 CG cannot solve to Newton-grade directions."""
     from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
 
+    jax.config.update("jax_enable_x64", True)
     t0 = time.perf_counter()
     cfg = Config(problem="hyperFS", degree=4, nu=0.3, E=1e6,
                  mesh_file=str(MESHES / "cyl-hole_3140e_2ss_us.exo"),
@@ -117,11 +120,7 @@ def config4():
                  bc_clamp=(998, 999),
                  bc_clamp_translate={998: (0.0, 0.0, 0.2)},
                  bc_clamp_rotate={998: (0.0, 0.0, 1.0, 0.2)},
-                 ksp_rtol=None)  # backend default (cli: 1e-10 f64 / 1e-6 f32)
-    if jax.default_backend() != "cpu" and cfg.ksp_rtol is None:
-        cfg.ksp_rtol = 1e-6
-    else:
-        cfg.ksp_rtol = 1e-10
+                 ksp_rtol=1e-10)
     prob = ElasticityProblem(cfg)
     t_setup = time.perf_counter() - t0
     info = prob.solve()
