@@ -33,6 +33,7 @@ from .basis import Basis3D
 from . import pallas_apply
 from .lattice import LatticeRestriction
 from .restriction import Restriction
+from .spectral import SpectralLattice
 from .structured import (
     StructuredMaps,
     StructuredRestriction,
@@ -85,6 +86,7 @@ class LevelOps:
     srestr: StructuredRestriction | None = None
     sgrad: tuple | None = None          # (Kg, KgT) single-GEMM gradient op
     lattice: bool = False   # box mesh: index-free component-major restriction
+    spectral: SpectralLattice | None = None  # box mesh: global GEMM pipeline
 
 
 class OperatorFactory:
@@ -99,16 +101,30 @@ class OperatorFactory:
         use_pallas: bool | None = None,
         block_elems: int = 128,
         pallas_interpret: bool = False,
+        use_spectral: bool | None = None,
     ):
         """q1d overrides the quadrature size — used by the reduced-integration
         pressure operator of hyperFSIncomp (Q = 1 + qextra,
-        src/setuplibceed.c:406). use_pallas=None auto-enables the fused
-        Pallas apply kernel on the TPU backend (f32, full quadrature)."""
+        src/setuplibceed.c:406).
+
+        Hot-path selection for box (lattice) meshes: use_spectral=None
+        auto-enables the global sum-factorized GEMM pipeline
+        (ops/spectral.py) — the fastest measured path on TPU — unless the
+        fused Pallas kernel was explicitly requested. Unstructured meshes
+        use the Pallas fused element kernel on TPU (use_pallas=None
+        auto-enables it there for f32, full quadrature) and the structured
+        single-GEMM path elsewhere."""
         self.dtype = dtype or default_dtype()
         fine = spaces[-1]
         self.fine_degree = fine.degree
         self.Q1d = q1d if q1d is not None else fine.degree + 1 + qextra  # setuplibceed.c:252
-        if use_pallas is None:
+        is_lattice = fine.lattice_dims is not None
+        if use_spectral is None:
+            use_spectral = is_lattice and use_pallas is not True
+        self.use_spectral = use_spectral and is_lattice
+        if self.use_spectral:
+            use_pallas = False
+        elif use_pallas is None:
             use_pallas = (
                 jax.default_backend() == "tpu"
                 and self.dtype == jnp.float32
@@ -137,7 +153,12 @@ class OperatorFactory:
                 restr = Restriction(s.conn, s.num_nodes,
                                     node_ranges=s.entity_node_ranges())
                 srestr = StructuredRestriction(smaps)
-            if use_pallas:
+            spectral = None
+            if lattice and self.use_spectral:
+                spectral = SpectralLattice(s.lattice_dims, s.degree, basis,
+                                           self.dtype)
+                sgrad = spectral.matrices()
+            elif use_pallas:
                 sgrad = pallas_apply.padded_grad_matrices(basis, col, self.dtype)
             elif lattice:
                 # component-batched GEMM on the (3, e, P3) lattice E-vector
@@ -146,7 +167,7 @@ class OperatorFactory:
                 sgrad = grad_gemm_matrices(basis, col, self.dtype)
             self.levels.append(LevelOps(
                 space=s, restr=restr, basis=basis, srestr=srestr,
-                sgrad=sgrad, lattice=lattice,
+                sgrad=sgrad, lattice=lattice, spectral=spectral,
             ))
         self.fine = self.levels[-1]
         mesh = fine.mesh
@@ -169,8 +190,11 @@ class OperatorFactory:
         return self.coord_basis.apply_interp(xe)
 
     def struct_qdata(self, qdata) -> jnp.ndarray:
-        """qdata as consumed by the structured apply path: lane/row-padded
-        for the Pallas kernel, the plain array otherwise."""
+        """qdata as consumed by the structured apply path: global-quadrature
+        layout for the spectral pipeline, lane/row-padded for the Pallas
+        kernel, the plain array otherwise."""
+        if self.use_spectral:
+            return self.fine.spectral.qdata_to_global(qdata)
         if not self.use_pallas:
             return qdata
         return pallas_apply.pad_qdata(qdata, self.e_pad)
@@ -178,6 +202,10 @@ class OperatorFactory:
     def stash_view(self, stash):
         """Expose a structured-path stash as Mat3 of (nelem, Q3) planes for
         the unstructured consumers (diagonal, p=1 element matrices)."""
+        if (self.use_spectral and isinstance(stash, Mat3)
+                and stash.m[0].ndim == 3):
+            sp = self.fine.spectral
+            return Mat3([sp.plane_to_elem(p) for p in stash.m])
         return pallas_apply.stash_view(stash, self.nelem, self.Q3)
 
     # ------------------------------------------------------------------
@@ -227,6 +255,16 @@ class OperatorFactory:
         nelem, e_pad = self.nelem, self.e_pad
         P3 = self.fine.basis.P3
         lattice = self.fine.lattice
+        if self.use_spectral:
+            sp = self.fine.spectral
+
+            def apply_spectral(u, qdata_g, sr, mats):
+                du = sp.grad(u, mats)
+                dv, stash = residual_planes(du, qdata_g, phys)
+                return sp.grad_T(dv, mats), stash
+
+            return apply_spectral
+
         if self.use_pallas:
             has_stash = _has_stash(residual_planes, phys)
             fused = pallas_apply.make_fused_apply(
@@ -292,6 +330,16 @@ class OperatorFactory:
         P3 = self.levels[level].basis.P3
         nelem, e_pad = self.nelem, self.e_pad
         lattice = self.levels[level].lattice
+        if self.use_spectral:
+            sp = self.levels[level].spectral
+
+            def japply_spectral(v, qdata_g, stash, sr, mats):
+                ddu = sp.grad(v, mats)
+                ddv = jacobian_planes(ddu, qdata_g, stash, phys)
+                return sp.grad_T(ddv, mats)
+
+            return japply_spectral
+
         if self.use_pallas:
             stash_in = _needs_stash(jacobian_planes, phys)
             fused = pallas_apply.make_fused_apply(

@@ -210,7 +210,7 @@ class ElasticityProblem:
             def _raw_residual(u, big):
                 sr, sk = big["srestrs"][-1], big["sgrads"][-1]
                 r1, s1 = res_mu(u, big["qdata_s"], sr, sk)
-                r2, s2 = res_p(u, big["qdata_p"], sr, big["sgrads_p"][-1])
+                r2, s2 = res_p(u, big["qdata_p_s"], sr, big["sgrads_p"][-1])
                 return r1 + r2, (s1, s2)
 
             def _raw_jacobian(v, big, stash, level=-1):
@@ -218,7 +218,7 @@ class ElasticityProblem:
                 return jac_mu[level](
                     v, big["qdata_s"], stash[0], sr, big["sgrads"][level]
                 ) + jac_p[level](
-                    v, big["qdata_p"], stash[1], sr, big["sgrads_p"][level]
+                    v, big["qdata_p_s"], stash[1], sr, big["sgrads_p"][level]
                 )
 
             self._raw_residual = _raw_residual
@@ -263,7 +263,10 @@ class ElasticityProblem:
             "sgrads": tuple(l.sgrad for l in self.factory.levels),
         }
         if self.composite:
+            # element layout for diagonal/p=1-assembly consumers; structured
+            # (spectral global-quad) layout for the hot residual/Jacobian
             self._big["qdata_p"] = self.qdata_p
+            self._big["qdata_p_s"] = self.pfactory.struct_qdata(self.qdata_p)
             self._big["sgrads_p"] = tuple(
                 l.sgrad for l in self.pfactory.levels
             )
@@ -354,7 +357,8 @@ class ElasticityProblem:
             sv = self.factory.stash_view
             if not self.composite:
                 return diag_mu[l](big["qdata"], sv(stash), big["restrs"][l])
-            return diag_mu[l](big["qdata"], sv(stash[0]), big["restrs"][l]) +                 diag_p[l](big["qdata_p"], stash[1], big["restrs"][l])
+            return diag_mu[l](big["qdata"], sv(stash[0]), big["restrs"][l]) +                 diag_p[l](big["qdata_p"], self.pfactory.stash_view(stash[1]),
+                          big["restrs"][l])
 
         # --- AMG coarse machinery (E3e/E3f): assembled p=1 + native SA ---
         self._use_amg = (
@@ -374,7 +378,8 @@ class ElasticityProblem:
                 self._elem_mats0 = jax.jit(
                     lambda stash, big: em_mu(
                         big["qdata"], self.factory.stash_view(stash[0]))
-                    + em_p(big["qdata_p"], stash[1])
+                    + em_p(big["qdata_p"],
+                           self.pfactory.stash_view(stash[1]))
                 )
             else:
                 self._elem_mats0 = jax.jit(

@@ -25,7 +25,8 @@ def test_pallas_matches_xla(problem, degree):
 
     plfac = OperatorFactory([fes], dtype=dtype, use_pallas=True,
                             pallas_interpret=True, block_elems=16)
-    xfac = OperatorFactory([fes], dtype=dtype, use_pallas=False)
+    xfac = OperatorFactory([fes], dtype=dtype, use_pallas=False,
+                           use_spectral=False)
     model = get_model(problem)
     phys = Physics(nu=0.3, E=1.0)
 
