@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .partition import SpacePartition
+from ..utils.precise import dot2_pair
 
 AXIS = "mesh"
 
@@ -153,8 +154,13 @@ def apply_local_op(owned, sa: ShardArrays, element_fn):
 
 
 def ddot(a, b):
-    """Distributed dot over owned blocks (padding is zero by invariant)."""
-    return jax.lax.psum(jnp.vdot(a.reshape(-1), b.reshape(-1)), AXIS)
+    """Distributed dot over owned blocks (padding is zero by invariant).
+
+    Per-shard compensated (double-float) partial sums, psum'ed as a
+    (hi, lo) pair so the cross-device reduction keeps the f64-grade
+    accuracy of the local Dot2 (utils/precise.py; SURVEY hard-part 5)."""
+    hi, lo = dot2_pair(a.reshape(-1), b.reshape(-1))
+    return jax.lax.psum(hi, AXIS) + jax.lax.psum(lo, AXIS)
 
 
 def dnorm(a):

@@ -63,6 +63,10 @@ class Config:
     coarse_solve: str = "amg"                   # amg (GAMG analog) | chebyshev
     coarse_cheb_its: int = 30                   # chebyshev coarse fallback
     newton: NewtonOptions = field(default_factory=NewtonOptions)
+    # hot-path override (the -ceed resource-string analog, cloptions.c:36-46):
+    # None = auto (spectral on boxes, Pallas on unstructured TPU f32);
+    # True/False force the fused Pallas kernel on/off for A/B bisection
+    use_pallas: bool | None = None
 
     def __post_init__(self):
         if self.test_mode:
@@ -131,7 +135,8 @@ class ElasticityProblem:
         self._setup_stage = GLOBAL_LOG.stage("Operator Setup")
         self._setup_stage.__enter__()
         self.factory = OperatorFactory(self.spaces, qextra=config.qextra,
-                                       dtype=self.dtype)
+                                       dtype=self.dtype,
+                                       use_pallas=config.use_pallas)
         self.qdata = self.factory.compute_qdata()
         self.model = get_model(config.problem)
         self.phys = Physics(nu=config.nu, E=config.E * config.pascal)

@@ -15,6 +15,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.precise import dot2
+
 
 class CGResult(NamedTuple):
     x: jnp.ndarray
@@ -23,8 +25,9 @@ class CGResult(NamedTuple):
     converged: jnp.ndarray      # bool
 
 
-def _dot(a, b):
-    return jnp.vdot(a.reshape(-1), b.reshape(-1))
+# Compensated (double-float) dot: f64-grade reduction scalars on the f32
+# TPU path (SURVEY hard-part 5); plain vdot on f64 inputs.
+_dot = dot2
 
 
 def pcg(

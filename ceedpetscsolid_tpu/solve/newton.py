@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.precise import dot2
+
 
 @dataclass
 class NewtonOptions:
@@ -44,7 +46,7 @@ class NewtonResult(NamedTuple):
 
 
 def _norm(v):
-    return jnp.sqrt(jnp.vdot(v.reshape(-1), v.reshape(-1)).real)
+    return jnp.sqrt(jnp.abs(dot2(v, v)))
 
 
 def newton_solve(
@@ -71,9 +73,21 @@ def newton_solve(
         lin_total += int(ksp_its)
 
         lam = _line_search(residual, u, G, d, opts)
-        u = u + lam * d
-        G, stash = residual(u)
+        u_new = u + lam * d
+        G, stash = residual(u_new)
         rnorm_new = float(_norm(G))
+        # Domain-error backtracking: a (possibly secant-extrapolated) step
+        # that takes hyperFS outside J > 0 produces a non-finite residual;
+        # halve toward the current (finite) iterate instead of reporting
+        # divergence (SNES line-search domain retry semantics).
+        for _ in range(12):
+            if np.isfinite(rnorm_new):
+                break
+            lam *= 0.5
+            u_new = u + lam * d
+            G, stash = residual(u_new)
+            rnorm_new = float(_norm(G))
+        u = u_new
         if opts.monitor is not None:
             opts.monitor(it, rnorm_new)
         step = float(_norm(lam * d))
@@ -107,13 +121,30 @@ def _line_search(residual, u, G, d, opts: NewtonOptions):
     default, starting from the full Newton step."""
     if opts.linesearch == "basic" or opts.ls_max_it <= 0:
         return 1.0
-    dflat = d.reshape(-1)
-    g0 = float(jnp.vdot(G.reshape(-1), dflat).real)
+    g0 = float(dot2(G, d))
     lam_old, g_old = 0.0, g0
     lam = 1.0
     for _ in range(opts.ls_max_it):
         Gl, _ = residual(u + lam * d)
-        g = float(jnp.vdot(Gl.reshape(-1), dflat).real)
+        g = float(dot2(Gl, d))
+        if not np.isfinite(g):
+            # The trial step left the constitutive model's domain (hyperFS
+            # log(J) needs J > 0, hyperFS.h:45-67): backtrack toward the
+            # current iterate until the residual is finite again instead of
+            # committing a NaN step (the SNES line-search domain-error
+            # retry role). Keeps the twist/clamp load paths of BASELINE
+            # config 4 inside the physical domain at full increments.
+            ok = False
+            for _ in range(12):
+                lam *= 0.5
+                Gl, _ = residual(u + lam * d)
+                g = float(dot2(Gl, d))
+                if np.isfinite(g):
+                    ok = True
+                    break
+            if not ok:
+                return 0.0
+            lam_old, g_old = 0.0, g0
         denom = g - g_old
         if denom == 0.0 or not np.isfinite(denom):
             break

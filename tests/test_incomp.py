@@ -18,9 +18,12 @@ def test_incomp_jacobian_matches_jvp():
     u = jnp.asarray(rng.normal(size=(3, prob.fine_space.num_nodes)) * 0.02)
     bc = prob.bc_values(1.0)
     G, stash = prob._nonlinear_residual(u, bc, prob.F)
-    # stash carries both full-quadrature and Q=1 pressure gradients
+    # stash carries both full-quadrature and Q=1 pressure gradients; view
+    # through the factory so the assertion is layout-agnostic (the spectral
+    # path stores global-quadrature planes, the row path (nelem, Q3))
     assert isinstance(stash, tuple) and len(stash) == 2
-    assert stash[1][0, 0].shape[-1] == 1   # single reduced-integration point
+    pview = prob.pfactory.stash_view(stash[1])
+    assert pview.m[0].shape[-1] == 1   # single reduced-integration point
     v = jnp.asarray(rng.normal(size=u.shape))
     Jv = prob._jacobian_action(v, stash)
     f = lambda x: prob._nonlinear_residual(x, bc, prob.F)[0]  # noqa: E731

@@ -1,7 +1,7 @@
 """Fused Pallas apply kernel vs the XLA structured pipeline.
 
 Runs the kernel in Pallas interpreter mode on the CPU backend (the compiled
-Mosaic path is validated on hardware by scripts/validate_pallas.py); checks
+Mosaic path is validated on hardware by scripts/validate_hot_paths.py); checks
 the padding construction (lane padding to 128, element-row padding, identity
 qdata in padded lanes) and residual/Jacobian/stash parity for a linear and a
 nonlinear model.
