@@ -111,6 +111,108 @@ def residual_bench():
     }
 
 
+def unstructured_bench():
+    """Residual throughput on the largest committed Exodus mesh (the
+    reference's measured workloads are unstructured cylinders,
+    elasticity.c:754-765): fused Pallas kernel vs the XLA structured-row
+    path at hyperFS degree 4, plus the gather/scatter share of the row
+    apply (the E-vector restriction is SURVEY hard-part #1)."""
+    from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+
+    if jax.default_backend() == "cpu":
+        return None
+    mesh = "/root/reference/meshes/cylinder8_44928e_2ss_us.exo"
+    out = {}
+    prob = None
+    for name, up in (("pallas", True), ("row", False)):
+        cfg = Config(problem="hyperFS", degree=4, nu=0.3, E=1.0,
+                     mesh_file=mesh, forcing="none", multigrid="none",
+                     num_increments=1, bc_clamp=(998, 999),
+                     bc_clamp_translate={998: (0.0, 0.0, 0.02)},
+                     use_pallas=up)
+        prob = ElasticityProblem(cfg)
+        ndofs = 3 * prob.fine_space.num_nodes
+        bc = prob.bc_values(1.0)
+        F = prob.F
+        resid = lambda u: prob._nonlinear_residual(u, bc, F)[0]  # noqa: E731
+        u = jnp.zeros((3, prob.fine_space.num_nodes), prob.dtype)
+        reps = 20
+
+        @jax.jit
+        def many(u0):
+            def body(c, _):
+                r = resid(c)
+                return c + 1e-30 * jnp.sum(r), None
+            o, _ = jax.lax.scan(body, u0, None, length=reps)
+            return o
+
+        jax.block_until_ready(many(u))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(many(u))
+            best = min(best, time.perf_counter() - t0)
+        out[f"unstructured_{name}_mdofs"] = round(1e-6 * ndofs / (best / reps),
+                                                  1)
+        out[f"unstructured_{name}_ms"] = round(best / reps * 1e3, 3)
+    out["unstructured_ndofs"] = 3 * prob.fine_space.num_nodes
+
+    # gather/scatter share of the XLA row apply: time the pure E-vector
+    # restriction round-trip (gather + scatter-add) through the same
+    # index arrays (prob is the row-path problem from the last loop iter)
+    restr = prob.factory.fine.restr
+    u = jnp.zeros((3, prob.fine_space.num_nodes), prob.dtype)
+
+    @jax.jit
+    def gs(u0):
+        def body(c, _):
+            ve = restr.gather(c)
+            return restr.scatter_add(ve) * 1e-30 + c, None
+        o, _ = jax.lax.scan(body, u0, None, length=20)
+        return o
+
+    jax.block_until_ready(gs(u))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(gs(u))
+        best = min(best, time.perf_counter() - t0)
+    out["unstructured_gather_scatter_ms"] = round(best / 20 * 1e3, 3)
+    out["unstructured_gs_share_of_row"] = round(
+        out["unstructured_gather_scatter_ms"] / out["unstructured_row_ms"], 3)
+    return out
+
+
+def unstructured_solve_bench():
+    """Solve-level DoFs/s on the unstructured mesh (BASELINE config 5's
+    actual intent): hyperFS degree 4 on cylinder8_44928e with the full
+    p-MG + AMG-coarse stack."""
+    from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+
+    if jax.default_backend() == "cpu":
+        return None
+    cfg = Config(problem="hyperFS", degree=4, nu=0.3, E=1e6,
+                 mesh_file="/root/reference/meshes/cylinder8_44928e_2ss_us.exo",
+                 forcing="none", num_increments=2, ksp_rtol=1e-6,
+                 bc_clamp=(998, 999),
+                 bc_clamp_translate={998: (0.0, 0.0, 0.02)})
+    cfg.newton.rtol = 1e-6
+    prob = ElasticityProblem(cfg)
+    cold = prob.solve()
+    info = prob.solve()
+    return {
+        "usolve_mdofs_per_sec": round(info.mdofs_per_sec, 3),
+        "usolve_dofs": info.dofs,
+        "usolve_snes_iters": info.snes_iters,
+        "usolve_ksp_iters": info.ksp_iters,
+        "usolve_time_s": round(info.solve_time, 3),
+        "usolve_cold_time_s": round(cold.solve_time, 3),
+        "usolve_converged": bool(info.converged),
+        "usolve_config": "hyperFS deg4 cylinder8_44928e clamp, pMG+AMG, "
+                         "2 increments",
+    }
+
+
 def solve_bench():
     """Full-solve DoFs/sec (dofs * KSP_iters / time, elasticity.c:763-764):
     hyperFS degree 4 with the full p-MG + AMG-coarse stack, Newton + CP
@@ -169,6 +271,18 @@ def main():
                 extra.update(s)
         except Exception as e:             # never fail the headline metric
             extra["solve_error"] = repr(e)[:200]
+        try:
+            ub = unstructured_bench()
+            if ub:
+                extra.update(ub)
+        except Exception as e:
+            extra["unstructured_error"] = repr(e)[:200]
+        try:
+            us = unstructured_solve_bench()
+            if us:
+                extra.update(us)
+        except Exception as e:
+            extra["usolve_error"] = repr(e)[:200]
 
     print(
         json.dumps(

@@ -8,6 +8,12 @@ Jacobi or full p-multigrid(+replicated AMG coarse) preconditioning,
 critical-point line search, update — is a single jitted SPMD computation:
 the "training step" of this framework.
 
+Preconditioner data (level diagonals + Chebyshev eigenvalue bounds) is a
+SEPARATE sharded computation run once per Jacobian refresh and fed to the
+step as arguments — the KSPChebyshevEstEig cadence of the serial path
+(problem.py _pc_setup; reference elasticity.c:539-545) — so linear models
+estimate eigenvalues exactly once instead of every Newton step.
+
 Every mesh-sized array travels as a jit argument (sharded pytrees), so
 compiled modules stay small and shapes stay static across Newton steps.
 """
@@ -24,6 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from . import dist, mg as dmg
 from ..models.base import Mat3
 from ..ops.structured import grad_gemm_matrices
+from ..solve.newton import NewtonOptions, NewtonPolicy
+from ..utils.precise import accurate_matmuls
 from .dist import AXIS, ShardArrays
 from .partition import (
     SpacePartition,
@@ -38,8 +46,8 @@ class DistributedProblem:
     """Distributes an ElasticityProblem over ndev devices.
 
     use_mg: p-multigrid-preconditioned CG inside the SPMD step (requires the
-    problem to be configured with multigrid != 'none' and a single-operator
-    model; composite models fall back to Jacobi).
+    problem to be configured with multigrid != 'none'); composite models
+    (hyperFSIncomp) get the same distributed p-MG as single-operator ones.
     """
 
     problem: "ElasticityProblem"  # noqa: F821
@@ -52,9 +60,7 @@ class DistributedProblem:
         fes = prob.fine_space
         if self.use_mg is None:
             self.use_mg = (
-                prob.config.multigrid != "none"
-                and len(prob.spaces) > 1
-                and not prob.composite
+                prob.config.multigrid != "none" and len(prob.spaces) > 1
             )
         self.part = partition_space(fes.conn, fes.num_nodes, self.ndev)
         self.sa = ShardArrays.from_partition(self.part)
@@ -68,15 +74,11 @@ class DistributedProblem:
         self.composite = prob.composite
         if self.composite:
             # reduced-integration pressure operator data (Q=1 qdata +
-            # P->1 gradient GEMM, src/setuplibceed.c:404-506)
+            # per-level P->1 gradient GEMMs, src/setuplibceed.c:404-506)
             self.qdata_p_sh = jnp.asarray(
                 self._pad_qdata(np.asarray(prob.qdata_p)))
-            pb = prob.pfactory.fine.basis
-            self.sgrad_p = grad_gemm_matrices(
-                pb, np.arange(pb.P3), prob.dtype)
         else:
             self.qdata_p_sh = None
-            self.sgrad_p = None
 
         self.mask_sh = jnp.asarray(
             scatter_global_to_owned(self.part, np.asarray(prob.bc_mask))
@@ -96,13 +98,39 @@ class DistributedProblem:
         if self.use_mg:
             self.levels = dmg.build_dist_levels(prob, self.part, self.ndev)
             self.level_arrays = tuple(
-                {"sa": l.sa, "mask": l.mask, "owned_gid": l.owned_gid}
-                for l in self.levels
+                {"sa": l.sa, "mask": l.mask, "owned_gid": l.owned_gid,
+                 "inv_mult": self._inv_mult(l, i)}
+                for i, l in enumerate(self.levels)
             )
             # AMG coarse hierarchy: assembled once host-side at u=0 state;
             # refreshed by refresh_amg() per Newton step for nonlinear runs
             self._amg = None
         self._build_step()
+
+    def _inv_mult(self, lvl: dmg.DistLevel, l: int):
+        """Owned-layout inverse node multiplicity for prolongation scaling
+        (misc.c:115-143) — pure mesh data, computed host-side once."""
+        if l == 0:
+            return None
+        space = self.problem.spaces[l]
+        mult = np.bincount(space.conn.reshape(-1),
+                           minlength=space.num_nodes).astype(np.float64)
+        mult[mult == 0] = 1.0
+        inv = np.broadcast_to(1.0 / mult, (3, space.num_nodes))
+        arr = scatter_global_to_owned(self._level_part(l), inv)
+        return jnp.asarray(arr.astype(self.dtype))
+
+    def _level_part(self, l: int) -> SpacePartition:
+        if not hasattr(self, "_level_parts"):
+            self._level_parts = {}
+        if l not in self._level_parts:
+            space = self.problem.spaces[l]
+            if l == len(self.problem.spaces) - 1:
+                self._level_parts[l] = self.part
+            else:
+                self._level_parts[l] = partition_space(
+                    space.conn, space.num_nodes, self.ndev)
+        return self._level_parts[l]
 
     def _pad_qdata(self, qd):
         nq, nelem, Q3 = qd.shape
@@ -144,7 +172,8 @@ class DistributedProblem:
         bc = self.to_owned(prob.bcs.values(
             prob._coords, load).T.astype(np.asarray(u_owned).dtype))
         em_sh = np.asarray(self._emats(u_owned, bc, self.F_sh * load,
-                                       self.mask_sh, self.qdata_sh, self.sa))
+                                       self.mask_sh, self.qdata_sh,
+                                       self.qdata_p_sh, self.sa))
         nd = em_sh.shape[-1]
         valid = self.part.elem_valid.reshape(-1)
         em = em_sh.reshape(-1, nd, nd)[valid]      # global element order
@@ -180,6 +209,16 @@ class DistributedProblem:
         self._sgrads = tuple(
             grad_gemm_matrices(b, np.arange(b.P3), self.dtype) for b in bases
         )
+        if composite:
+            pbases = [prob.pfactory.levels[l].basis for l in
+                      (range(nlev) if use_mg else [len(prob.spaces) - 1])]
+            Q3p_ = pbases[-1].Q3                   # = (1 + qextra)^3
+            self.sgrads_p = tuple(
+                grad_gemm_matrices(b, np.arange(b.P3), self.dtype)
+                for b in pbases
+            )
+        else:
+            self.sgrads_p = None
 
         def rows_residual(local, sa_, qd, sk):
             """Single-GEMM residual pipeline on a shard's local E-rows."""
@@ -189,6 +228,15 @@ class DistributedProblem:
             dv, stash = model.residual_planes(du, qd, phys)
             ve = jnp.concatenate(dv.m, axis=1) @ KgT
             return dist.scatter_node_rows(ve, sa_), stash
+
+        def rows_presidual(local, sa_, qdp, skp):
+            """Reduced-integration pressure residual rows (composite)."""
+            Kgp, KgTp = skp
+            due = dist.gather_node_rows(local, sa_) @ Kgp
+            dup = Mat3([due[:, k * Q3p_:(k + 1) * Q3p_] for k in range(9)])
+            dvp, stash_p = model.pressure_residual_planes(dup, qdp, phys)
+            vep = jnp.concatenate(dvp.m, axis=1) @ KgTp
+            return dist.scatter_node_rows(vep, sa_), stash_p
 
         def rows_jacobian(local, sa_, qd, stash, sk, planes, Q3=None):
             Kg, KgT = sk
@@ -212,110 +260,126 @@ class DistributedProblem:
                     diag_e = diag_e.at[c2].add(contrib)
             return diag_e
 
-        if composite:
-            pbasis = prob.pfactory.fine.basis          # P -> 1 reduced
-            Q3p_ = pbasis.Q3                           # = 1 + qextra cubed
+        # --- shared in-shard building blocks -----------------------------
+        def full_residual(u, bc_vals, F, mask, qd, qdp, sa_, sgrads, sgrads_p):
+            # full-f32 matmul precision: the residual sets the Newton
+            # convergence floor (utils/precise.accurate_matmuls)
+            with accurate_matmuls():
+                u_in = jnp.where(mask, bc_vals, u)
+                local = dist.g2l(u_in, sa_)
+                acc, stash = rows_residual(local, sa_, qd, sgrads[-1])
+                if composite:
+                    accp, stash_p = rows_presidual(local, sa_, qdp,
+                                                   sgrads_p[-1])
+                    acc = acc + accp
+                    stash = (stash, stash_p)
+                r = dist.l2g_add(acc, sa_)
+                return jnp.where(mask, 0.0, r - F), stash
 
-        def body(u, bc_vals, F, mask, qdata, qdata_p, sa, lvls, amg_data,
-                 sgrads, sgrad_p):
+        def fine_jac_apply(v, stash, mask, qd, qdp, sa_, sgrads, sgrads_p):
+            v_in = jnp.where(mask, 0.0, v)
+            local = dist.g2l(v_in, sa_)
+            if composite:
+                acc = rows_jacobian(local, sa_, qd, stash[0], sgrads[-1],
+                                    model.jacobian_planes)
+                acc = acc + rows_jacobian(
+                    local, sa_, qdp, stash[1], sgrads_p[-1],
+                    model.pressure_jacobian_planes, Q3=Q3p_)
+            else:
+                acc = rows_jacobian(local, sa_, qd, stash, sgrads[-1],
+                                    model.jacobian_planes)
+            jv = dist.l2g_add(acc, sa_)
+            return jnp.where(mask, 0.0, jv)
+
+        def make_level_applies(stash, qd, qdp, lvls, sgrads, sgrads_p):
+            def make_lvl_apply(l):
+                def A(v, lv=lvls[l]):
+                    v_in = jnp.where(dist._blk(lv["mask"]), 0.0,
+                                     dist._blk(v))[None]
+                    local = dist.g2l(v_in, lv["sa"])
+                    if composite:
+                        acc = rows_jacobian(local, lv["sa"], qd, stash[0],
+                                            sgrads[l], model.jacobian_planes)
+                        acc = acc + rows_jacobian(
+                            local, lv["sa"], qdp, stash[1], sgrads_p[l],
+                            model.pressure_jacobian_planes, Q3=Q3p_)
+                    else:
+                        acc = rows_jacobian(local, lv["sa"], qd, stash,
+                                            sgrads[l], model.jacobian_planes)
+                    jv = dist.l2g_add(acc, lv["sa"])
+                    return jnp.where(lv["mask"], 0.0, jv)
+
+                return A
+
+            return [make_lvl_apply(l) for l in range(nlev)]
+
+        def level_diag(l, stash, qd, qdp, lv):
+            basis = bases[l]
+            if composite:
+                diag_e = elem_diagonal(qd, stash[0], basis, model.jacobian_qf)
+                diag_e = diag_e + elem_diagonal(
+                    qdp, stash[1], pbases[l], model.pressure_jacobian_qf)
+            else:
+                diag_e = elem_diagonal(qd, stash, basis, model.jacobian_qf)
+            dacc = dist.scatter_elements(diag_e, lv["sa"])
+            diag = dist.l2g_add(dacc, lv["sa"])
+            diag = jnp.where(lv["mask"], 1.0, diag)
+            diag = jnp.where(diag == 0.0, 1.0, diag)
+            return diag
+
+        # --- preconditioner setup: separate sharded computation ----------
+        # (per-Jacobian cadence; cached across Newton steps for linear
+        # models by the host loop — mirrors problem.py _pc_setup)
+        def pc_body(u, bc_vals, F, mask, qdata, qdata_p, sa_, lvls,
+                    sgrads, sgrads_p):
+            qd = qdata[0]
+            qdp = qdata_p[0] if composite else None
+            _, stash = full_residual(u, bc_vals, F, mask, qd, qdp, sa_,
+                                     sgrads, sgrads_p)
+            if not use_mg:
+                lv = {"sa": sa_, "mask": mask}
+                diag = level_diag(0, stash, qd, qdp, lv)
+                return (1.0 / diag,)
+            lvl_apply = make_level_applies(stash, qd, qdp, lvls,
+                                           sgrads, sgrads_p)
+            dinvs, bounds = [], []
+            for l in range(nlev):
+                lv = lvls[l]
+                diag = level_diag(l, stash, qd, qdp, lv)
+                dinv = 1.0 / diag
+                dinvs.append(dinv)
+                valid = (~dist._blk(lv["mask"]))[None] & \
+                    dist._blk(lv["sa"].owned_valid)[None, None, :]
+                lo, hi = dmg.estimate_eigs_dist(
+                    lvl_apply[l], dinv, diag.shape, diag.dtype, valid=valid,
+                )
+                bounds.append((lo, hi))
+            return tuple(dinvs), tuple(bounds)
+
+        # --- the Newton step ---------------------------------------------
+        def body(u, bc_vals, F, mask, qdata, qdata_p, sa_, lvls, amg_data,
+                 sgrads, sgrads_p, pc):
             qd = qdata[0]
             qdp = qdata_p[0] if composite else None
             msk = mask
 
             def residual(uo):
-                u_in = jnp.where(msk, bc_vals, uo)
-                local = dist.g2l(u_in, sa)
-                acc, stash = rows_residual(local, sa, qd, sgrads[-1])
-                if composite:
-                    Kgp, KgTp = sgrad_p
-                    due = dist.gather_node_rows(local, sa) @ Kgp
-                    dup = Mat3([due[:, k * Q3p_:(k + 1) * Q3p_]
-                                for k in range(9)])
-                    dvp, stash_p = model.pressure_residual_planes(
-                        dup, qdp, phys)
-                    vep = jnp.concatenate(dvp.m, axis=1) @ KgTp
-                    acc = acc + dist.scatter_node_rows(vep, sa)
-                    stash = (stash, stash_p)
-                r = dist.l2g_add(acc, sa)
-                return jnp.where(msk, 0.0, r - F), stash
-
-            def jac_apply(v, stash):
-                v_in = jnp.where(msk, 0.0, v)
-                local = dist.g2l(v_in, sa)
-                if composite:
-                    acc = rows_jacobian(local, sa, qd, stash[0], sgrads[-1],
-                                        model.jacobian_planes)
-                    acc = acc + rows_jacobian(
-                        local, sa, qdp, stash[1], sgrad_p,
-                        model.pressure_jacobian_planes, Q3=Q3p_)
-                else:
-                    acc = rows_jacobian(local, sa, qd, stash, sgrads[-1],
-                                        model.jacobian_planes)
-                jv = dist.l2g_add(acc, sa)
-                return jnp.where(msk, 0.0, jv)
+                return full_residual(uo, bc_vals, F, msk, qd, qdp, sa_,
+                                     sgrads, sgrads_p)
 
             G, stash = residual(u)
 
+            def jac_apply(v):
+                return fine_jac_apply(v, stash, msk, qd, qdp, sa_,
+                                      sgrads, sgrads_p)
+
             if not use_mg:
-                if composite:
-                    diag_e = elem_diagonal(qd, stash[0], fine_basis,
-                                           model.jacobian_qf)
-                    diag_p = elem_diagonal(qdp, stash[1], pbasis,
-                                           model.pressure_jacobian_qf)
-                    diag_e = diag_e + diag_p
-                else:
-                    diag_e = elem_diagonal(qd, stash, fine_basis,
-                                           model.jacobian_qf)
-                dacc = dist.scatter_elements(diag_e, sa)
-                diag = dist.l2g_add(dacc, sa)
-                diag = jnp.where(msk, 1.0, diag)
-                diag = jnp.where(diag == 0.0, 1.0, diag)
-                dinv = 1.0 / diag
+                (dinv,) = pc
                 M = lambda r: dinv * r            # noqa: E731
             else:
-                # --- per-level distributed machinery -------------------
-                def make_lvl_apply(l):
-                    def A(v, lv=lvls[l]):
-                        v_in = jnp.where(dist._blk(lv["mask"]), 0.0,
-                                         dist._blk(v))[None]
-                        local = dist.g2l(v_in, lv["sa"])
-                        jv = dist.l2g_add(
-                            rows_jacobian(local, lv["sa"], qd, stash,
-                                          sgrads[l], model.jacobian_planes),
-                            lv["sa"])
-                        return jnp.where(lv["mask"], 0.0, jv)
-
-                    return A
-
-                lvl_apply = [make_lvl_apply(l) for l in range(nlev)]
-                dinvs, bounds, inv_mults = [], [], [None]
-                for l in range(nlev):
-                    lv = lvls[l]
-                    basis = levels_static[l].basis
-                    diag_e = elem_diagonal(qd, stash, basis,
-                                           model.jacobian_qf)
-                    dacc = dist.scatter_elements(diag_e, lv["sa"])
-                    diag = dist.l2g_add(dacc, lv["sa"])
-                    diag = jnp.where(lv["mask"], 1.0, diag)
-                    diag = jnp.where(diag == 0.0, 1.0, diag)
-                    dinvs.append(1.0 / diag)
-                    valid = (~dist._blk(lv["mask"]))[None] & \
-                        dist._blk(lv["sa"].owned_valid)[None, None, :]
-                    lo, hi = dmg.estimate_eigs_dist(
-                        lvl_apply[l], dinvs[l], diag.shape, diag.dtype,
-                        valid=valid,
-                    )
-                    bounds.append((lo, hi))
-                    if l > 0:
-                        ones = jnp.ones(
-                            (3,) + tuple(dist._blk(lv["sa"].conn_local).shape),
-                            self.dtype,
-                        )
-                        acc = dist.scatter_elements(ones, lv["sa"])
-                        mult = dist.l2g_add(acc, lv["sa"])
-                        inv_mults.append(
-                            1.0 / jnp.where(mult == 0, 1.0, mult)
-                        )
+                dinvs, bounds = pc
+                lvl_apply = make_level_applies(stash, qd, qdp, lvls,
+                                               sgrads, sgrads_p)
 
                 def prolong_l(l, uc):
                     c2f = levels_static[l].c2f
@@ -323,12 +387,12 @@ class DistributedProblem:
                     ue = dist.gather_elements(local_c, lvls[l - 1]["sa"])
                     fe = c2f.apply_interp(ue)
                     acc = dist.scatter_elements(fe, lvls[l]["sa"])
-                    out = dist.l2g_add(acc, lvls[l]["sa"]) * inv_mults[l]
+                    out = dist.l2g_add(acc, lvls[l]["sa"]) * lvls[l]["inv_mult"]
                     return jnp.where(lvls[l]["mask"], 0.0, out)
 
                 def restrict_l(l, uf):
                     c2f = levels_static[l].c2f
-                    local_f = dist.g2l(uf * inv_mults[l], lvls[l]["sa"])
+                    local_f = dist.g2l(uf * lvls[l]["inv_mult"], lvls[l]["sa"])
                     fe = dist.gather_elements(local_f, lvls[l]["sa"])
                     ce = c2f.apply_interp_T(fe)
                     acc = dist.scatter_elements(ce, lvls[l - 1]["sa"])
@@ -390,7 +454,7 @@ class DistributedProblem:
 
             def bodyf(s):
                 x, r, z, p, rz, it, ok = s
-                Ap = jac_apply(p, stash)
+                Ap = jac_apply(p)
                 pAp = dist.ddot(p, Ap)
                 good = pAp > 0        # KSP_DIVERGED_INDEFINITE_MAT analog
                 alpha = jnp.where(good, rz / pAp, 0.0)
@@ -414,23 +478,51 @@ class DistributedProblem:
             ok = jnp.isfinite(lam_raw) & (lam_raw > 1e-8) & (lam_raw < 1e2)
             lam = jnp.where(ok, lam_raw, 1.0)
 
+            # Domain-error backtracking (same policy as solve/newton.py):
+            # halve lam until the residual is finite (hyperFS needs J > 0)
+            G_new, _ = residual(u + lam * d)
+            rnorm0_new = dist.dnorm(G_new)
+
+            def bt_cond(s):
+                lam_, rn_, tries = s
+                return (~jnp.isfinite(rn_)) & (tries < 8)
+
+            def bt_body(s):
+                lam_, rn_, tries = s
+                lam2 = lam_ * 0.5
+                Gt, _ = residual(u + lam2 * d)
+                return (lam2, dist.dnorm(Gt), tries + 1)
+
+            lam, rnorm, _ = jax.lax.while_loop(
+                bt_cond, bt_body, (lam, rnorm0_new, jnp.int32(0))
+            )
             u_new = u + lam * d
-            G_new, _ = residual(u_new)
             rnorm_in = dist.dnorm(G)
-            rnorm = dist.dnorm(G_new)
             return u_new, rnorm_in, rnorm, iters
 
         spec = P(AXIS)
         lvls_spec = spec if self.use_mg else None
         qdp_spec = spec if composite else None
         sgp_spec = P() if composite else None
+        pc_spec = (spec,) if not use_mg else (
+            tuple(spec for _ in range(nlev)),
+            tuple((P(), P()) for _ in range(nlev)),
+        )
         in_specs = (spec, spec, spec, spec, spec, qdp_spec, spec, lvls_spec,
                     P(), P(), sgp_spec)
+        self._pc_sm = jax.jit(
+            jax.shard_map(
+                pc_body,
+                mesh=self.mesh,
+                in_specs=in_specs[:8] + (P(), sgp_spec),
+                out_specs=pc_spec,
+            )
+        )
         self._step = jax.jit(
             jax.shard_map(
                 body,
                 mesh=self.mesh,
-                in_specs=in_specs,
+                in_specs=in_specs + (pc_spec,),
                 out_specs=(spec, P(), P(), P()),
             )
         )
@@ -439,28 +531,57 @@ class DistributedProblem:
         if use_mg:
             from ..ops.assembly import make_element_matrices
 
-            em_fn = make_element_matrices(
+            em_mu = make_element_matrices(
                 model.jacobian_qf, phys, bases[0], self.dtype)
+            em_p = make_element_matrices(
+                model.pressure_jacobian_qf, phys, pbases[0], self.dtype
+            ) if composite else None
 
-            def emats_body(u, bc_vals, F, mask, qdata, sa, sk):
+            def emats_body(u, bc_vals, F, mask, qdata, qdata_p, sa_, sk, skp):
                 u_in = jnp.where(mask, bc_vals, u)
-                local = dist.g2l(u_in, sa)
-                _, stash = rows_residual(local, sa, qdata[0], sk)
-                return em_fn(qdata[0], stash)[None]
+                local = dist.g2l(u_in, sa_)
+                _, stash = rows_residual(local, sa_, qdata[0], sk)
+                em = em_mu(qdata[0], stash)
+                if composite:
+                    _, stash_p = rows_presidual(local, sa_, qdata_p[0], skp)
+                    em = em + em_p(qdata_p[0], stash_p)
+                return em[None]
 
             emats_sm = jax.jit(
                 jax.shard_map(
                     emats_body,
                     mesh=self.mesh,
-                    in_specs=(spec, spec, spec, spec, spec, spec, P()),
+                    in_specs=(spec, spec, spec, spec, spec, qdp_spec, spec,
+                              P(), sgp_spec),
                     out_specs=spec,
                 )
             )
-            self._emats = lambda *a: emats_sm(*a, self._sgrads[-1])
+            # the stash is computed with the FINE-level gradient pipeline
+            # (qdata lives at the fine quadrature); only the element-matrix
+            # contraction uses the p=1 basis
+            self._emats = lambda *a: emats_sm(
+                *a, self._sgrads[-1],
+                self.sgrads_p[-1] if composite else None)
 
     # ------------------------------------------------------------------
-    def newton_step(self, u_owned, load_increment: float, amg_data=None):
+    def pc_setup(self, u_owned, load_increment: float):
+        """Sharded preconditioner refresh (diagonals + Chebyshev bounds) —
+        run once per Jacobian like the serial _pc_setup."""
         prob = self.problem
+        bc = self.to_owned(prob.bcs.values(
+            prob._coords, load_increment
+        ).T.astype(np.asarray(u_owned).dtype))
+        F = self.F_sh * load_increment
+        lvls = self.level_arrays if self.use_mg else None
+        return self._pc_sm(u_owned, bc, F, self.mask_sh, self.qdata_sh,
+                           self.qdata_p_sh, self.sa, lvls,
+                           self._sgrads, self.sgrads_p)
+
+    def newton_step(self, u_owned, load_increment: float, amg_data=None,
+                    pc=None):
+        prob = self.problem
+        if pc is None:
+            pc = self.pc_setup(u_owned, load_increment)
         bc = self.to_owned(prob.bcs.values(
             prob._coords, load_increment
         ).T.astype(np.asarray(u_owned).dtype))
@@ -468,10 +589,12 @@ class DistributedProblem:
         lvls = self.level_arrays if self.use_mg else None
         return self._step(u_owned, bc, F, self.mask_sh, self.qdata_sh,
                           self.qdata_p_sh, self.sa, lvls, amg_data,
-                          self._sgrads, self.sgrad_p)
+                          self._sgrads, self.sgrads_p, pc)
 
     def solve(self, num_increments=None, max_newton=50, rtol=1e-8):
-        """Full load-continuation solve; returns (u_global, info dict)."""
+        """Full load-continuation solve; returns (u_global, info dict).
+        Convergence policy shared with the serial driver
+        (solve/newton.py NewtonPolicy)."""
         cfg = self.problem.config
         n_inc = num_increments or cfg.num_increments
         u = self.to_owned(np.zeros((3, self.problem.fine_space.num_nodes)))
@@ -479,33 +602,36 @@ class DistributedProblem:
         total_newton = 0
         rnorm = None
         amg_data = None
+        pc = None
+        converged = True
+        reason = ""
+        opts = NewtonOptions(rtol=rtol, max_it=max_newton)
         for inc in range(1, n_inc + 1):
             load = inc / n_inc
-            rnorm_entry0 = None
-            r_prev = None
-            stalls = 0
+            policy = None
+            converged, reason = False, "max_it"
             for _ in range(max_newton):
-                if self.use_mg and (self.model.nonlinear or amg_data is None):
+                nonlinear = self.model.nonlinear
+                if self.use_mg and (nonlinear or amg_data is None):
                     # FormJacobian analog: refresh the replicated AMG coarse
                     # hierarchy from the on-device stash; linear problems
                     # assemble exactly once (problem.py does the same).
                     amg_data = self.refresh_amg(u, load)
+                if nonlinear or pc is None:
+                    pc = self.pc_setup(u, load)
                 u, rnorm_in, rnorm, iters = self.newton_step(
-                    u, load, amg_data=amg_data
+                    u, load, amg_data=amg_data, pc=pc
                 )
                 total_ksp += int(iters)
                 total_newton += 1
-                if rnorm_entry0 is None:
-                    rnorm_entry0 = max(float(rnorm_in), 1e-300)
-                r = float(rnorm)
-                if r < 1e-50 or r < rtol * rnorm_entry0:
+                if policy is None:
+                    policy = NewtonPolicy(opts, max(float(rnorm_in), 1e-300))
+                verdict = policy.check(float(rnorm))
+                if verdict is not None:
+                    converged, reason = verdict
                     break
-                # fp-noise-floor stagnation exit (see solve/newton.py)
-                stalls = stalls + 1 if (r_prev is not None
-                                        and r > 0.99 * r_prev) else 0
-                r_prev = r
-                if stalls >= 2:
-                    break
+            if not converged and reason == "diverged":
+                break  # elasticity.c:668-672
         u_np = self.to_global(u)                       # (3, num_nodes)
         bc_vals = self.problem.bcs.values(self.problem._coords, 1.0).T
         mask = np.asarray(self.problem.bc_mask)
@@ -514,4 +640,6 @@ class DistributedProblem:
             "newton_iters": total_newton,
             "ksp_iters": total_ksp,
             "rnorm": float(rnorm),
+            "converged": converged,
+            "reason": reason,
         }

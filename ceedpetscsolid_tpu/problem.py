@@ -27,6 +27,7 @@ from .solve.amg import AMGPreconditioner
 from .solve.cg import estimate_extreme_eigs, pcg
 from .solve.newton import NewtonOptions, NewtonResult, newton_solve
 from .solve.pmg import MGLevel, make_vcycle
+from .utils.precise import accurate_matmuls
 from .utils.timing import GLOBAL_LOG
 
 
@@ -67,6 +68,9 @@ class Config:
     # None = auto (spectral on boxes, Pallas on unstructured TPU f32);
     # True/False force the fused Pallas kernel on/off for A/B bisection
     use_pallas: bool | None = None
+    # failed-increment retries with halved load delta (0 = reference
+    # behavior: break the continuation loop on divergence)
+    substep_retries: int = 4
 
     def __post_init__(self):
         if self.test_mode:
@@ -137,7 +141,8 @@ class ElasticityProblem:
         self.factory = OperatorFactory(self.spaces, qextra=config.qextra,
                                        dtype=self.dtype,
                                        use_pallas=config.use_pallas)
-        self.qdata = self.factory.compute_qdata()
+        with accurate_matmuls():     # geometry factors feed every operator
+            self.qdata = self.factory.compute_qdata()
         self.model = get_model(config.problem)
         self.phys = Physics(nu=config.nu, E=config.E * config.pascal)
         self.phys_smoother = (
@@ -171,10 +176,11 @@ class ElasticityProblem:
         self._coords = fes.coords
 
         # --- forcing -----------------------------------------------------
-        self.F = assemble_forcing(
-            self.factory, self.qdata, config.forcing,
-            phys=self.phys, forcing_vec=config.forcing_vec,
-        )
+        with accurate_matmuls():
+            self.F = assemble_forcing(
+                self.factory, self.qdata, config.forcing,
+                phys=self.phys, forcing_vec=config.forcing_vec,
+            )
         # forcing is zero at constrained DOFs (they are not solved for)
         self.F = jnp.where(self.bc_mask, 0.0, self.F)
 
@@ -193,7 +199,8 @@ class ElasticityProblem:
                 plvl.restr = flvl.restr
                 plvl.srestr = flvl.srestr
             self.pfactory.coord_restr = self.factory.coord_restr
-            self.qdata_p = self.pfactory.compute_qdata()
+            with accurate_matmuls():
+                self.qdata_p = self.pfactory.compute_qdata()
             nlev = len(self.spaces)
             res_mu = self.factory.make_residual_structured(
                 self.model.residual_planes, self.phys
@@ -252,9 +259,12 @@ class ElasticityProblem:
             self._raw_jacobian = _raw_jacobian
 
         energy_fn = self.factory.make_energy(self.model.energy_qf, self.phys)
-        self._energy_j = jax.jit(
-            lambda u, big: energy_fn(u, big["qdata"], big["restrs"][-1])
-        )
+
+        def energy_impl(u, big):
+            with accurate_matmuls():
+                return energy_fn(u, big["qdata"], big["restrs"][-1])
+
+        self._energy_j = jax.jit(energy_impl)
         self._diagnostic = None
         # Everything O(nelem)/O(nnodes) travels through jit as arguments in
         # this pytree -- baked-constant HLO payloads break remote compile.
@@ -323,11 +333,14 @@ class ElasticityProblem:
 
         def nonlinear_residual_impl(u, bc_vals, F, big):
             """G(u) = R(u with BCs inserted) - F, zeroed at constrained DOFs
-            (FormResidual_Ceed, matops.c:63-79)."""
-            mask = big["mask"]
-            u_in = jnp.where(mask, bc_vals, u)
-            r, stash = self._raw_residual(u_in, big)
-            return jnp.where(mask, 0.0, r - F), stash
+            (FormResidual_Ceed, matops.c:63-79). Traced under full-f32
+            matmul precision: the residual sets the Newton convergence
+            floor (see utils/precise.accurate_matmuls)."""
+            with accurate_matmuls():
+                mask = big["mask"]
+                u_in = jnp.where(mask, bc_vals, u)
+                r, stash = self._raw_residual(u_in, big)
+                return jnp.where(mask, 0.0, r - F), stash
 
         def jacobian_action_impl(v, stash, big):
             """Zero-BC linearized action (ApplyJacobian_Ceed, matops.c:98-112)."""
@@ -544,8 +557,9 @@ class ElasticityProblem:
         rnorm = 0.0
         t0 = time.perf_counter()
         last = None
-        for inc in range(1, cfg.num_increments + 1):
-            load = inc / cfg.num_increments
+        load_done = 0.0
+
+        def run_newton(load, u0):
             bc_vals = self.bc_values(load)
             F = self.F * load
 
@@ -555,18 +569,39 @@ class ElasticityProblem:
             def linear_solve(uu, G, stash):
                 return self._linear_solve(G, stash)
 
-            res: NewtonResult = newton_solve(residual, linear_solve, u, cfg.newton)
-            u = res.u
-            total_snes += res.iters
-            total_ksp += res.linear_iters
-            rnorm = res.rnorm
-            last = res
-            if monitor is not None:
-                monitor(inc, load, res)
-            if not res.converged and res.reason == "diverged":
-                break  # elasticity.c:668-672
+            return newton_solve(residual, linear_solve, u0, cfg.newton)
+
+        for inc in range(1, cfg.num_increments + 1):
+            target = inc / cfg.num_increments
+            # Adaptive sub-stepping: where the reference simply breaks the
+            # continuation on divergence (elasticity.c:668-672), a failed
+            # increment here retries from the last converged state with a
+            # halved load delta (classic continuation practice; rescues the
+            # artificial first-increment BC-jump state where the hyperFS
+            # tangent is indefinite — see NewtonOptions.stall_rtol).
+            delta = target - load_done
+            fails = 0
+            while load_done < target - 1e-12:
+                load = min(target, load_done + delta)
+                res: NewtonResult = run_newton(load, u)
+                total_snes += res.iters
+                total_ksp += res.linear_iters
+                rnorm = res.rnorm
+                last = res
+                if monitor is not None:
+                    monitor(inc, load, res)
+                if res.converged:
+                    u = res.u
+                    load_done = load
+                else:
+                    fails += 1
+                    delta *= 0.5
+                    if fails > cfg.substep_retries:
+                        break
+            if load_done < target - 1e-12:
+                break  # elasticity.c:668-672 (after sub-step retries)
         solve_time = time.perf_counter() - t0
-        u_out = self.insert_bc(u, self.bc_values(1.0 * (inc / cfg.num_increments)))
+        u_out = self.insert_bc(u, self.bc_values(max(load_done, 1e-30)))
         return SolveInfo(
             u=u_out,
             snes_iters=total_snes,
@@ -597,8 +632,14 @@ class ElasticityProblem:
         """(nnodes, 8) nodal diagnostic fields (misc.c:217-311)."""
         if self._diagnostic is None:
             fn = self.factory.make_diagnostic(self.model.diagnostic_qf, self.phys)
-            self._diag_setup = self.factory.diagnostic_setup()
-            self._diagnostic = jax.jit(fn)
+            with accurate_matmuls():
+                self._diag_setup = self.factory.diagnostic_setup()
+
+            def diag_impl(u, restr, qd_coll, mult):
+                with accurate_matmuls():
+                    return fn(u, restr, qd_coll, mult)
+
+            self._diagnostic = jax.jit(diag_impl)
         qd_coll, mult = self._diag_setup
         return self._diagnostic(u, self._big["restrs"][-1], qd_coll, mult)
 

@@ -34,6 +34,16 @@ class NewtonOptions:
     linesearch: str = "cp"      # 'cp' | 'basic'
     ls_max_it: int = 1          # SNESLineSearchCP default secant steps
     monitor: Callable | None = None
+    # Stagnation handling: an iterate whose residual has stopped decreasing
+    # counts as CONVERGED (fp noise floor) only if it already gained
+    # stall_rtol relative to entry — otherwise Newton is merely grinding
+    # through a hard state (e.g. the artificial BC-jump state of the first
+    # increment, where the hyperFS tangent can be indefinite) and must keep
+    # iterating; after max_stalls_hard flat iterations it gives up with
+    # converged=False so the load loop can sub-step.
+    stall_rtol: float = 1e-3
+    max_stalls_floor: int = 2
+    max_stalls_hard: int = 6
 
 
 class NewtonResult(NamedTuple):
@@ -43,6 +53,50 @@ class NewtonResult(NamedTuple):
     rnorm: float
     converged: bool
     reason: str
+
+
+class NewtonPolicy:
+    """Host-side convergence policy shared by the serial (newton_solve) and
+    distributed (parallel/driver.py) Newton drivers, so reason codes,
+    stall counting and divergence handling cannot drift between the two
+    (the SNESConvergedDefault role, reference elasticity.c:668-672).
+
+    Call `check(rnorm, step, unorm)` after each Newton update; it returns
+    a (converged, reason) pair once the iteration should stop, else None.
+    """
+
+    def __init__(self, opts: NewtonOptions, rnorm0: float):
+        self.opts = opts
+        self.rnorm0 = rnorm0
+        self.prev = rnorm0
+        self.stalls = 0
+
+    def check(self, rnorm: float, step: float | None = None,
+              unorm: float | None = None):
+        o = self.opts
+        if not np.isfinite(rnorm) or rnorm > o.divtol * self.rnorm0:
+            return (False, "diverged")
+        if rnorm <= max(o.atol, o.rtol * self.rnorm0):
+            return (True, "rtol")
+        if step is not None and unorm is not None and \
+                step <= o.stol * max(unorm, 1e-30):
+            return (True, "stol")
+        # Stagnation at the floating-point noise floor (f32 backends hit
+        # this well above any reasonable rtol): consecutive iterations
+        # without meaningful residual decrease end the solve cleanly
+        # instead of burning max_it — but ONLY once real progress was made
+        # (rnorm below stall_rtol * rnorm0); a Newton grinding through a
+        # hard state far from convergence keeps iterating, and reports
+        # converged=False after max_stalls_hard flat steps so the caller
+        # can sub-step the load increment.
+        self.stalls = self.stalls + 1 if rnorm > 0.99 * self.prev else 0
+        self.prev = rnorm
+        if self.stalls >= o.max_stalls_floor and \
+                rnorm <= o.stall_rtol * self.rnorm0:
+            return (True, "stagnation (fp noise floor)")
+        if self.stalls >= o.max_stalls_hard:
+            return (False, "stalled")
+        return None
 
 
 def _norm(v):
@@ -67,7 +121,7 @@ def newton_solve(
     reason = "max_it"
     converged = False
     it = 0
-    stalls = 0
+    policy = NewtonPolicy(opts, rnorm0)
     for it in range(1, opts.max_it + 1):
         d, ksp_its = linear_solve(u, G, stash)
         lin_total += int(ksp_its)
@@ -90,27 +144,11 @@ def newton_solve(
         u = u_new
         if opts.monitor is not None:
             opts.monitor(it, rnorm_new)
-        step = float(_norm(lam * d))
-        unorm = float(_norm(u))
-        # Stagnation at the floating-point noise floor (f32 backends hit
-        # this well above any reasonable rtol): two consecutive iterations
-        # without meaningful residual decrease end the solve cleanly
-        # instead of burning max_it (the SNES stol/DIVERGED_LINE_SEARCH
-        # role). The iterate at the floor IS the converged f32 answer.
-        stalled = rnorm_new > 0.99 * rnorm
         rnorm = rnorm_new
-        if rnorm <= max(opts.atol, opts.rtol * rnorm0):
-            converged, reason = True, "rtol"
-            break
-        if step <= opts.stol * max(unorm, 1e-30):
-            converged, reason = True, "stol"
-            break
-        if not np.isfinite(rnorm) or rnorm > opts.divtol * rnorm0:
-            converged, reason = False, "diverged"
-            break
-        stalls = stalls + 1 if stalled else 0
-        if stalls >= 2:
-            converged, reason = True, "stagnation (fp noise floor)"
+        verdict = policy.check(rnorm, step=float(_norm(lam * d)),
+                               unorm=float(_norm(u)))
+        if verdict is not None:
+            converged, reason = verdict
             break
     return NewtonResult(u, it, lin_total, rnorm, converged, reason)
 

@@ -22,10 +22,44 @@ jnp ops: f64 is already the reference precision.
 
 from __future__ import annotations
 
+import os
+from contextlib import nullcontext
+
+import jax
 import jax.numpy as jnp
 
-# Dekker splitter for binary32: 2^ceil(24/2) + 1
-_SPLIT_F32 = jnp.float32(4097.0)
+
+def accurate_matmuls():
+    """Context manager for the accuracy-critical compute paths: Newton
+    residual, geometry qdata, forcing, energy/diagnostics.
+
+    XLA's DEFAULT f32 matmul precision on TPU is a single bf16 MXU pass
+    (eps ~4e-3). For FEM residuals that is catastrophic, not cosmetic —
+    the basis-contraction GEMMs of a near-equilibrium state cancel to
+    ~1e-6 of their operand magnitudes, so bf16 noise DOMINATES the true
+    residual. Measured on cyl-hole_3140e deg2 hyperFS (E=1e6): residual
+    norm 1.43e8 at default precision vs 8.13e6 at highest vs 7.99e6 in
+    f64 — the default-precision "residual" is 18x pure noise.
+
+    HIGHEST runs f32 matmuls as 6 bf16 passes (true-f32 grade). The
+    preconditioner paths (Jacobian action inside CG, smoothers, diagonals,
+    eig probes) deliberately KEEP the fast default: their error only
+    perturbs the Newton direction, which the accurate-residual outer loop
+    corrects (the inexact-Newton forcing-term argument) — that is where
+    the MXU speed is, and where accuracy is not load-bearing.
+
+    Override with CPSTPU_RESIDUAL_PRECISION=default|high|highest.
+    """
+    mode = os.environ.get("CPSTPU_RESIDUAL_PRECISION", "highest")
+    if mode == "default":
+        return nullcontext()
+    return jax.default_matmul_precision(mode)
+
+# Dekker splitter for binary32: 2^ceil(24/2) + 1. A plain Python float
+# (weak type) so importing this module does NOT touch the backend: creating
+# a jnp array at import time would initialize the TPU platform before
+# callers (tests, dryrun_multichip) can force the CPU backend.
+_SPLIT_F32 = 4097.0
 
 
 def _two_sum(a, b):

@@ -105,3 +105,25 @@ def test_distributed_composite_matches_serial():
     u, dinfo = dp.solve()
     assert dinfo["rnorm"] < 1e-10
     assert np.abs(u - np.asarray(info.u)).max() < 1e-10
+
+
+def test_distributed_composite_mg_matches_serial():
+    """hyperFSIncomp with FULL distributed p-MG (+ composite AMG coarse from
+    the on-device mu+pressure element matrices): the round-3 lift of the
+    composite-models-fall-back-to-Jacobi limitation."""
+    from ceedpetscsolid_tpu.parallel.driver import DistributedProblem
+    from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = Config(problem="hyperFSIncomp", degree=2, nu=0.3, E=1.0,
+                 test_mode=True, box_faces=(3, 3, 3),
+                 multigrid="logarithmic", num_increments=2)
+    prob = ElasticityProblem(cfg)
+    info = prob.solve()
+    dp = DistributedProblem(prob, ndev=8, use_mg=True)
+    assert dp.use_mg
+    u, dinfo = dp.solve()
+    assert dinfo["converged"]
+    assert dinfo["rnorm"] < 1e-10
+    assert np.abs(u - np.asarray(info.u)).max() < 1e-10
