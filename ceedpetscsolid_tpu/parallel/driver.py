@@ -277,19 +277,23 @@ class DistributedProblem:
                 return jnp.where(mask, 0.0, r - F), stash
 
         def fine_jac_apply(v, stash, mask, qd, qdp, sa_, sgrads, sgrads_p):
-            v_in = jnp.where(mask, 0.0, v)
-            local = dist.g2l(v_in, sa_)
-            if composite:
-                acc = rows_jacobian(local, sa_, qd, stash[0], sgrads[-1],
-                                    model.jacobian_planes)
-                acc = acc + rows_jacobian(
-                    local, sa_, qdp, stash[1], sgrads_p[-1],
-                    model.pressure_jacobian_planes, Q3=Q3p_)
-            else:
-                acc = rows_jacobian(local, sa_, qd, stash, sgrads[-1],
-                                    model.jacobian_planes)
-            jv = dist.l2g_add(acc, sa_)
-            return jnp.where(mask, 0.0, jv)
+            # outer Krylov matvec: full-f32 precision (the CG attainable
+            # residual stalls at matvec-noise x cond with the bf16-default
+            # MXU passes); smoother-level applies stay at the fast default
+            with accurate_matmuls():
+                v_in = jnp.where(mask, 0.0, v)
+                local = dist.g2l(v_in, sa_)
+                if composite:
+                    acc = rows_jacobian(local, sa_, qd, stash[0], sgrads[-1],
+                                        model.jacobian_planes)
+                    acc = acc + rows_jacobian(
+                        local, sa_, qdp, stash[1], sgrads_p[-1],
+                        model.pressure_jacobian_planes, Q3=Q3p_)
+                else:
+                    acc = rows_jacobian(local, sa_, qd, stash, sgrads[-1],
+                                        model.jacobian_planes)
+                jv = dist.l2g_add(acc, sa_)
+                return jnp.where(mask, 0.0, jv)
 
         def make_level_applies(stash, qd, qdp, lvls, sgrads, sgrads_p):
             def make_lvl_apply(l):

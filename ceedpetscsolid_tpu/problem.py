@@ -343,11 +343,19 @@ class ElasticityProblem:
                 return jnp.where(mask, 0.0, r - F), stash
 
         def jacobian_action_impl(v, stash, big):
-            """Zero-BC linearized action (ApplyJacobian_Ceed, matops.c:98-112)."""
-            mask = big["mask"]
-            v_in = jnp.where(mask, 0.0, v)
-            jv = self._raw_jacobian(v_in, big, stash)
-            return jnp.where(mask, 0.0, jv)
+            """Zero-BC linearized action (ApplyJacobian_Ceed, matops.c:98-112).
+
+            Full-f32 matmul precision: this is the OUTER Krylov matvec —
+            CG's attainable residual stalls at ~(matvec noise x cond), so
+            bf16-default MXU passes cap the linear solve at ~1e-2..1e-1
+            relative and Newton grinds for dozens of iterations. Smoother
+            /transfer applies inside the V-cycle stay at the fast default:
+            they only shape the preconditioner."""
+            with accurate_matmuls():
+                mask = big["mask"]
+                v_in = jnp.where(mask, 0.0, v)
+                jv = self._raw_jacobian(v_in, big, stash)
+                return jnp.where(mask, 0.0, jv)
 
         self._nl_res_j = jax.jit(nonlinear_residual_impl)
         self._jac_act_j = jax.jit(jacobian_action_impl)
@@ -524,7 +532,13 @@ class ElasticityProblem:
                                  coarse_cheb_its=cfg.coarse_cheb_its,
                                  coarse_apply=coarse_apply)
             coarse_data = big.get("amg") if self._use_amg else None
-            A = lambda v: mg_levels[-1].apply(v, stash)   # noqa: E731
+
+            def A(v):
+                # outer CG matvec at full-f32 precision (see
+                # jacobian_action_impl); the SAME closure traced without
+                # the context inside the V-cycle smoothers stays fast
+                with accurate_matmuls():
+                    return mg_levels[-1].apply(v, stash)
             M = lambda r: vcycle(r, stash, list(diag_invs),   # noqa: E731
                                  list(bounds), coarse_data)
             res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol, maxiter=cfg.ksp_max_it)

@@ -40,8 +40,11 @@ class NewtonOptions:
     # through a hard state (e.g. the artificial BC-jump state of the first
     # increment, where the hyperFS tangent can be indefinite) and must keep
     # iterating; after max_stalls_hard flat iterations it gives up with
-    # converged=False so the load loop can sub-step.
-    stall_rtol: float = 1e-3
+    # converged=False so the load loop can sub-step. 1e-5 sits above the
+    # measured f32 floors (~1e-6 relative, accurate-matmul path) and well
+    # below the mid-grind plateaus of hard f64 states (~1e-4 relative on
+    # the config-4 twist), so it separates the two regimes.
+    stall_rtol: float = 1e-5
     max_stalls_floor: int = 2
     max_stalls_hard: int = 6
 

@@ -1,0 +1,46 @@
+"""NewtonPolicy oracles: the shared serial/distributed convergence logic
+(solve/newton.py). Locks the round-3 semantics: noise-floor stagnation
+exits require real progress; hard stalls report converged=False so the
+load loop can sub-step; non-finite residuals diverge."""
+
+import numpy as np
+
+from ceedpetscsolid_tpu.solve.newton import NewtonOptions, NewtonPolicy
+
+
+def test_rtol_convergence():
+    p = NewtonPolicy(NewtonOptions(rtol=1e-8), rnorm0=1.0)
+    assert p.check(1e-2) is None
+    assert p.check(1e-9) == (True, "rtol")
+
+
+def test_divergence_on_nan_and_blowup():
+    p = NewtonPolicy(NewtonOptions(), rnorm0=1.0)
+    assert p.check(float("nan")) == (False, "diverged")
+    p = NewtonPolicy(NewtonOptions(divtol=1e4), rnorm0=1.0)
+    assert p.check(1e5) == (False, "diverged")
+
+
+def test_noise_floor_exit_requires_progress():
+    # flat residuals NEAR the entry norm must NOT be declared converged
+    p = NewtonPolicy(NewtonOptions(rtol=1e-10, stall_rtol=1e-3), rnorm0=1.0)
+    out = None
+    for _ in range(10):
+        out = p.check(0.5)
+        if out is not None:
+            break
+    assert out == (False, "stalled")
+
+
+def test_noise_floor_exit_after_progress():
+    # flat residuals far below entry ARE the fp floor -> clean convergence
+    p = NewtonPolicy(NewtonOptions(rtol=1e-10, stall_rtol=1e-3), rnorm0=1.0)
+    assert p.check(1e-6) is None        # big drop, no stall yet
+    assert p.check(0.995e-6) is None    # < 1% decrease: stall 1
+    out = p.check(0.992e-6)             # stall 2 at the floor
+    assert out == (True, "stagnation (fp noise floor)")
+
+
+def test_stol_step_exit():
+    p = NewtonPolicy(NewtonOptions(rtol=1e-12, stol=1e-8), rnorm0=1.0)
+    assert p.check(1e-3, step=1e-12, unorm=1.0) == (True, "stol")
