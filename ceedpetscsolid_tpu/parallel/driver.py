@@ -514,9 +514,21 @@ class DistributedProblem:
         )
         in_specs = (spec, spec, spec, spec, spec, qdp_spec, spec, lvls_spec,
                     P(), P(), sgp_spec)
+        def _accurate(fn):
+            """Trace the whole SPMD computation at full-f32 matmul
+            precision: PCG needs SYMMETRIC A and M, and bf16-default MXU
+            noise breaks the symmetry of every operator apply inside the
+            V-cycle (measured: Newton ground through 14-44 iterations per
+            increment on TPU vs 4-5 with true-f32 GEMMs — see
+            utils/precise.accurate_matmuls)."""
+            def wrapped(*args):
+                with accurate_matmuls():
+                    return fn(*args)
+            return wrapped
+
         self._pc_sm = jax.jit(
             jax.shard_map(
-                pc_body,
+                _accurate(pc_body),
                 mesh=self.mesh,
                 in_specs=in_specs[:8] + (P(), sgp_spec),
                 out_specs=pc_spec,
@@ -524,7 +536,7 @@ class DistributedProblem:
         )
         self._step = jax.jit(
             jax.shard_map(
-                body,
+                _accurate(body),
                 mesh=self.mesh,
                 in_specs=in_specs + (pc_spec,),
                 out_specs=(spec, P(), P(), P()),
@@ -553,7 +565,7 @@ class DistributedProblem:
 
             emats_sm = jax.jit(
                 jax.shard_map(
-                    emats_body,
+                    _accurate(emats_body),
                     mesh=self.mesh,
                     in_specs=(spec, spec, spec, spec, spec, qdp_spec, spec,
                               P(), sgp_spec),

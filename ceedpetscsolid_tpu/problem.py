@@ -401,17 +401,23 @@ class ElasticityProblem:
                     self.model.pressure_jacobian_qf, self.phys,
                     self.pfactory.levels[0].basis, self.dtype,
                 )
-                self._elem_mats0 = jax.jit(
-                    lambda stash, big: em_mu(
-                        big["qdata"], self.factory.stash_view(stash[0]))
-                    + em_p(big["qdata_p"],
-                           self.pfactory.stash_view(stash[1]))
-                )
+                def elem_mats_composite(stash, big):
+                    # full precision: an asymmetric (bf16-noise) coarse
+                    # matrix makes the AMG V-cycle a non-SPD M for CG
+                    with accurate_matmuls():
+                        return em_mu(
+                            big["qdata"], self.factory.stash_view(stash[0])
+                        ) + em_p(big["qdata_p"],
+                                 self.pfactory.stash_view(stash[1]))
+
+                self._elem_mats0 = jax.jit(elem_mats_composite)
             else:
-                self._elem_mats0 = jax.jit(
-                    lambda stash, big: em_mu(
-                        big["qdata"], self.factory.stash_view(stash))
-                )
+                def elem_mats_single(stash, big):
+                    with accurate_matmuls():
+                        return em_mu(
+                            big["qdata"], self.factory.stash_view(stash))
+
+                self._elem_mats0 = jax.jit(elem_mats_single)
             space0 = self.spaces[0]
             self._assembler0 = CSRAssembler(
                 space0.conn, space0.num_nodes,
@@ -446,24 +452,29 @@ class ElasticityProblem:
             use_amg_pc = self._use_amg and cfg.multigrid != "none"
 
             def jacobi_setup(stash, big):
-                mask = big["mask"]
-                d = jnp.where(mask, 1.0, level_diag(-1, stash, big))
-                return (1.0 / d,)
+                with accurate_matmuls():
+                    mask = big["mask"]
+                    d = jnp.where(mask, 1.0, level_diag(-1, stash, big))
+                    return (1.0 / d,)
 
             def linear_solve_jacobi(G, stash, big, pc):
                 """Jacobi CG (elasticity.c:515-518), or AMG-preconditioned
-                CG at degree 1 (PCGAMG, elasticity.c:519-521)."""
-                mask = big["mask"]
-                (diag_inv,) = pc
-                A = lambda v: jacobian_action_impl(v, stash, big)  # noqa: E731
-                if use_amg_pc:
-                    M = lambda r: jnp.where(                        # noqa: E731
-                        mask, 0.0, self._amg_apply(r, big["amg"]))
-                else:
-                    M = lambda r: diag_inv * r                      # noqa: E731
-                res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol,
-                          maxiter=cfg.ksp_max_it)
-                return res.x, res.iters
+                CG at degree 1 (PCGAMG, elasticity.c:519-521). Whole solve
+                traced at full-f32 matmul precision: PCG needs SYMMETRIC
+                A and M, and bf16-noise applies are not symmetric (see
+                utils/precise.accurate_matmuls)."""
+                with accurate_matmuls():
+                    mask = big["mask"]
+                    (diag_inv,) = pc
+                    A = lambda v: jacobian_action_impl(v, stash, big)  # noqa: E731
+                    if use_amg_pc:
+                        M = lambda r: jnp.where(                       # noqa: E731
+                            mask, 0.0, self._amg_apply(r, big["amg"]))
+                    else:
+                        M = lambda r: diag_inv * r                     # noqa: E731
+                    res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol,
+                              maxiter=cfg.ksp_max_it)
+                    return res.x, res.iters
 
             self._pc_setup_j = jax.jit(jacobi_setup)
             self._lin_solve_j = jax.jit(linear_solve_jacobi)
@@ -509,40 +520,43 @@ class ElasticityProblem:
         def mg_setup(stash, big):
             """Per-level diagonals + Chebyshev bounds: the KSPChebyshevEstEig
             analog (elasticity.c:539-545), run once per Jacobian refresh."""
-            mg_levels = build_mg_levels(stash, big)
-            diag_invs = []
-            bounds = []
-            for l in range(nlev):
-                d = jnp.where(big["level_masks"][l], 1.0,
-                              level_diag(l, stash, big))
-                dinv = 1.0 / d
-                diag_invs.append(dinv)
-                lo, hi = estimate_extreme_eigs(
-                    lambda v, l=l: mg_levels[l].apply(v, stash),
-                    dinv, d.shape, d.dtype,
-                )
-                bounds.append((lo, hi))
-            return tuple(diag_invs), tuple(bounds)
+            with accurate_matmuls():
+                mg_levels = build_mg_levels(stash, big)
+                diag_invs = []
+                bounds = []
+                for l in range(nlev):
+                    d = jnp.where(big["level_masks"][l], 1.0,
+                                  level_diag(l, stash, big))
+                    dinv = 1.0 / d
+                    diag_invs.append(dinv)
+                    lo, hi = estimate_extreme_eigs(
+                        lambda v, l=l: mg_levels[l].apply(v, stash),
+                        dinv, d.shape, d.dtype,
+                    )
+                    bounds.append((lo, hi))
+                return tuple(diag_invs), tuple(bounds)
 
         def linear_solve_mg(G, stash, big, pc):
-            diag_invs, bounds = pc
-            mg_levels = build_mg_levels(stash, big)
-            coarse_apply = self._amg_apply if self._use_amg else None
-            vcycle = make_vcycle(mg_levels, smooth_its=cfg.smooth_its,
-                                 coarse_cheb_its=cfg.coarse_cheb_its,
-                                 coarse_apply=coarse_apply)
-            coarse_data = big.get("amg") if self._use_amg else None
-
-            def A(v):
-                # outer CG matvec at full-f32 precision (see
-                # jacobian_action_impl); the SAME closure traced without
-                # the context inside the V-cycle smoothers stays fast
-                with accurate_matmuls():
-                    return mg_levels[-1].apply(v, stash)
-            M = lambda r: vcycle(r, stash, list(diag_invs),   # noqa: E731
-                                 list(bounds), coarse_data)
-            res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol, maxiter=cfg.ksp_max_it)
-            return res.x, res.iters
+            """Whole p-MG-preconditioned CG at full-f32 matmul precision:
+            PCG requires SYMMETRIC A and M; bf16-default MXU noise breaks
+            the symmetry of every operator apply inside the V-cycle, which
+            corrupts the Krylov directions (measured: Newton ground
+            through 14-44 iterations per load increment on TPU vs 4-5 on
+            CPU f32 with true-f32 GEMMs — see accurate_matmuls)."""
+            with accurate_matmuls():
+                diag_invs, bounds = pc
+                mg_levels = build_mg_levels(stash, big)
+                coarse_apply = self._amg_apply if self._use_amg else None
+                vcycle = make_vcycle(mg_levels, smooth_its=cfg.smooth_its,
+                                     coarse_cheb_its=cfg.coarse_cheb_its,
+                                     coarse_apply=coarse_apply)
+                coarse_data = big.get("amg") if self._use_amg else None
+                A = lambda v: mg_levels[-1].apply(v, stash)   # noqa: E731
+                M = lambda r: vcycle(r, stash, list(diag_invs),   # noqa: E731
+                                     list(bounds), coarse_data)
+                res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol,
+                          maxiter=cfg.ksp_max_it)
+                return res.x, res.iters
 
         self._pc_setup_j = jax.jit(mg_setup)
         self._lin_solve_j = jax.jit(linear_solve_mg)

@@ -34,6 +34,7 @@ OUT = Path(__file__).parent.parent / "results" / "CONFIG4_ORACLE.json"
 VARIANTS = {
     # name: (backend, x64, degree, use_pallas)
     "cpu64-deg2": ("cpu", True, 2, None),
+    "cpu32-deg2": ("cpu", False, 2, None),
     "cpu64-deg3": ("cpu", True, 3, None),
     "cpu64-deg4": ("cpu", True, 4, None),
     "tpu32-deg2": ("tpu", False, 2, None),
@@ -62,6 +63,11 @@ def run(name):
                  use_pallas=use_pallas)
     if not x64:
         cfg.newton.rtol = 1e-6
+    if os.environ.get("CPSTPU_LS"):
+        cfg.newton.linesearch = os.environ["CPSTPU_LS"]
+    if os.environ.get("CPSTPU_NEWTON_MONITOR"):
+        cfg.newton.monitor = lambda it, rn: print(
+            f"    newton {it:3d}: rnorm {rn:.4e}", flush=True)
     prob = ElasticityProblem(cfg)
     t_setup = time.perf_counter() - t0
 
