@@ -83,7 +83,13 @@ class NewtonPolicy:
             return (True, "rtol")
         if step is not None and unorm is not None and \
                 step <= o.stol * max(unorm, 1e-30):
-            return (True, "stol")
+            # a vanishing step only means convergence if the residual
+            # actually dropped; a bailed linear solve (indefinite tangent)
+            # also produces a near-zero step and must NOT be declared
+            # converged — report stalled so the load loop can sub-step
+            if rnorm <= o.stall_rtol * self.rnorm0:
+                return (True, "stol")
+            return (False, "stalled (no step)")
         # Stagnation at the floating-point noise floor (f32 backends hit
         # this well above any reasonable rtol): consecutive iterations
         # without meaningful residual decrease end the solve cleanly

@@ -55,11 +55,18 @@ def main():
         tol = 2e-4 if dtype == jnp.float32 else 1e-12
 
         def run(fac, tag):
-            res = fac.make_residual_structured(model.residual_planes, phys)
-            jac = fac.make_jacobian_structured(model.jacobian_planes, phys)
-            qds = fac.struct_qdata(qd)
-            r, s = res(u, qds, fac.fine.srestr, fac.fine.sgrad)
-            jv = jac(v, qds, s, fac.fine.srestr, fac.fine.sgrad)
+            # full-f32 matmul precision, as the production solver traces
+            # these paths (utils/precise.accurate_matmuls) — ALSO verifies
+            # the Pallas kernel honors the dot precision attribute (a
+            # default-precision kernel would disagree with the XLA-highest
+            # reference at ~bf16 eps, far above tol)
+            from ceedpetscsolid_tpu.utils.precise import accurate_matmuls
+            with accurate_matmuls():
+                res = fac.make_residual_structured(model.residual_planes, phys)
+                jac = fac.make_jacobian_structured(model.jacobian_planes, phys)
+                qds = fac.struct_qdata(qd)
+                r, s = res(u, qds, fac.fine.srestr, fac.fine.sgrad)
+                jv = jac(v, qds, s, fac.fine.srestr, fac.fine.sgrad)
             assert bool(jnp.all(jnp.isfinite(r))), f"{problem}/{tag}: NaN"
             sv = fac.stash_view(s)
             return r, jv, sv

@@ -79,3 +79,28 @@ def test_config3_regression(anchors):
     assert abs(e - ref["strain_energy"]) < 1e-6 * abs(ref["strain_energy"])
     assert info.snes_iters <= ref["snes_iters"] + 3
     assert info.ksp_iters <= ref["ksp_iters"] * 1.1 + 10
+
+
+@pytest.mark.skipif(not os.environ.get("CPSTPU_SLOW"),
+                    reason="config 4 variant takes minutes; set CPSTPU_SLOW=1")
+def test_config4_deg2_regression():
+    """Flagship-workload regression (BASELINE config 4 at its degree-2
+    anchor): hyperFS on cyl-hole with clamp translate+rotate must converge
+    and land on the committed f64 oracle energy (path-independence of the
+    elastic energy lets 2 increments stand in for the anchor's 10)."""
+    oracle_path = Path(__file__).parent.parent / "results" / \
+        "CONFIG4_ORACLE.json"
+    if not oracle_path.exists():
+        pytest.skip("no committed CONFIG4_ORACLE.json")
+    ref = json.loads(oracle_path.read_text())["cpu64-deg2"]
+    cfg = Config(problem="hyperFS", degree=2, nu=0.3, E=1e6,
+                 mesh_file=str(MESHES / "cyl-hole_3140e_2ss_us.exo"),
+                 forcing="none", num_increments=2,
+                 bc_clamp=(998, 999),
+                 bc_clamp_translate={998: (0.0, 0.0, 0.2)},
+                 bc_clamp_rotate={998: (0.0, 0.0, 1.0, 0.2)})
+    prob = ElasticityProblem(cfg)
+    info = prob.solve()
+    assert info.converged
+    e = prob.strain_energy(info.u)
+    assert abs(e - ref["strain_energy"]) < 1e-5 * abs(ref["strain_energy"])
