@@ -469,10 +469,13 @@ class DistributedProblem:
                 p = z + (rz2 / rz) * p
                 return (x, r, z, p, rz2, it + 1, good)
 
+            z0 = z
             x, r, z, p, rz, iters, _ok = jax.lax.while_loop(
                 cond, bodyf, (x, r, z, z, rz, jnp.int32(0), jnp.bool_(True))
             )
-            d = x
+            # first-iteration indefinite bail -> preconditioned
+            # steepest-descent fallback (see solve/cg.py)
+            d = jnp.where((iters == 0) & ~_ok, z0, x)
 
             # --- critical-point line search (1 secant step) ------------
             g0 = dist.ddot(G, d)

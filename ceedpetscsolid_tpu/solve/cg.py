@@ -71,9 +71,16 @@ def pcg(
         p = z + beta * p
         return (x, r, z, p, rz_new, it + 1, good)
 
+    z0 = z
     state = (x, r, z, r * 0 + z, rz, jnp.int32(0), jnp.bool_(True))
     x, r, z, p, rz, it, ok = jax.lax.while_loop(cond, body, state)
     rnorm = jnp.sqrt(jnp.abs(rz))
+    # Indefinite bail on the FIRST iteration returns x = 0 — a zero Newton
+    # step that stalls the outer solve. Fall back to the preconditioned
+    # steepest-descent direction M^{-1} b (the line search scales it), so
+    # Newton keeps making progress through indefinite-tangent states
+    # (e.g. the first-increment BC-jump state of finite-strain twists).
+    x = jnp.where((it == 0) & ~ok, z0, x)
     return CGResult(x=x, iters=it, rnorm=rnorm, converged=ok & (rnorm <= tol))
 
 
