@@ -649,6 +649,9 @@ class DistributedProblem:
                 if verdict is not None:
                     converged, reason = verdict
                     break
+            else:
+                if policy is not None:
+                    converged, reason = policy.finalize(float(rnorm))
             if not converged and reason == "diverged":
                 break  # elasticity.c:668-672
         u_np = self.to_global(u)                       # (3, num_nodes)

@@ -107,6 +107,16 @@ class NewtonPolicy:
             return (False, "stalled")
         return None
 
+    def finalize(self, rnorm: float):
+        """Verdict for a loop that ran out of max_it: an iterate already
+        below the stall_rtol floor is the converged answer (retrying the
+        increment would re-burn max_it for noise-level gains); anything
+        else reports failure so the load loop can sub-step."""
+        if np.isfinite(rnorm) and \
+                rnorm <= self.opts.stall_rtol * self.rnorm0:
+            return (True, "max_it (below stall_rtol)")
+        return (False, "max_it")
+
 
 def _norm(v):
     return jnp.sqrt(jnp.abs(dot2(v, v)))
@@ -159,6 +169,8 @@ def newton_solve(
         if verdict is not None:
             converged, reason = verdict
             break
+    else:
+        converged, reason = policy.finalize(rnorm)
     return NewtonResult(u, it, lin_total, rnorm, converged, reason)
 
 

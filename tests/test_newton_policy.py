@@ -41,6 +41,20 @@ def test_noise_floor_exit_after_progress():
     assert out == (True, "stagnation (fp noise floor)")
 
 
-def test_stol_step_exit():
-    p = NewtonPolicy(NewtonOptions(rtol=1e-12, stol=1e-8), rnorm0=1.0)
-    assert p.check(1e-3, step=1e-12, unorm=1.0) == (True, "stol")
+def test_stol_step_exit_requires_progress():
+    # a vanishing step with real progress is stol convergence ...
+    p = NewtonPolicy(NewtonOptions(rtol=1e-12, stol=1e-8, stall_rtol=1e-5),
+                     rnorm0=1.0)
+    assert p.check(1e-7, step=1e-12, unorm=1.0) == (True, "stol")
+    # ... but a zero step from a bailed linear solve at rnorm ~ rnorm0
+    # is a stall (the load loop sub-steps)
+    p = NewtonPolicy(NewtonOptions(rtol=1e-12, stol=1e-8, stall_rtol=1e-5),
+                     rnorm0=1.0)
+    assert p.check(0.9, step=1e-12, unorm=1.0) == (False, "stalled (no step)")
+
+
+def test_finalize_max_it_at_floor():
+    p = NewtonPolicy(NewtonOptions(rtol=1e-10, stall_rtol=1e-5), rnorm0=1.0)
+    assert p.finalize(5e-6) == (True, "max_it (below stall_rtol)")
+    assert p.finalize(1e-2) == (False, "max_it")
+    assert p.finalize(float("nan")) == (False, "max_it")
