@@ -21,15 +21,20 @@ import numpy as np
 import scipy.sparse as sp
 
 
-def _csr_to_ell(n, rowptr, colind, vals, dtype):
+def _ell_map(n, rowptr):
+    """Vectorized CSR->ELL slot map: src[i,k] = rowptr[i]+k (clamped) and a
+    validity mask. Shared by structure extraction and value-only refresh."""
     counts = np.diff(rowptr)
     K = int(counts.max(initial=1))
-    idx = np.zeros((n, K), dtype=np.int32)
-    v = np.zeros((n, K), dtype=np.float64)
-    for k in range(K):
-        rows = np.nonzero(counts > k)[0]
-        idx[rows, k] = colind[rowptr[rows] + k]
-        v[rows, k] = vals[rowptr[rows] + k]
+    src = rowptr[:-1, None] + np.arange(K)[None, :]
+    mask = np.arange(K)[None, :] < counts[:, None]
+    return np.where(mask, src, 0), mask, K
+
+
+def _csr_to_ell(n, rowptr, colind, vals, dtype):
+    src, mask, K = _ell_map(n, rowptr)
+    idx = np.where(mask, colind[src], 0).astype(np.int32)
+    v = np.where(mask, vals[src], 0.0)
     return jnp.asarray(idx), jnp.asarray(v, dtype)
 
 
@@ -50,6 +55,7 @@ class AMGPreconditioner:
         self.smooth_its = smooth_its
         self.handle = None
         self._pattern = None
+        self._struct = None       # host-side frozen structure + ELL maps
         self.data = None          # pytree of device arrays
 
     # -- host-side setup/refresh ----------------------------------------
@@ -71,6 +77,7 @@ class AMGPreconditioner:
             # rebuild from scratch rather than corrupt the hierarchy
             L.amg_free(self.handle)
             self.handle = None
+            self._struct = None
         if self.handle is None:
             self.handle = ctypes.c_void_p(L.amg_setup(
                 n, np.int64(vals.size), rowptr, colind, vals,
@@ -79,12 +86,55 @@ class AMGPreconditioner:
             self._pattern = (rowptr, colind)
         else:
             L.amg_refresh(self.handle, vals)
-        self._extract(L)
+        if self._struct is not None:
+            self._extract_values(L)
+        else:
+            self._extract(L)
+
+    def _extract_values(self, L):
+        """Values-only refresh (per-Newton-step hot path): the hierarchy
+        STRUCTURE is frozen after the first setup (amg_refresh keeps
+        aggregation/prolongator patterns), so only A values, diagonals,
+        lambda_max, and the dense coarse inverse change. Index arrays stay
+        on device untouched; each level's new values are one vectorized
+        gather through the cached CSR->ELL slot map."""
+        h = self.handle
+        levels = self.data["levels"]
+        for l, st in enumerate(self._struct):
+            vals, diag, lam, src, mask = (st["vals"], st["diag"], st["lam"],
+                                          st["src"], st["mask"])
+            L.amg_get_matrix(h, l, st["rowptr"], st["colind"], vals, diag, lam)
+            e = levels[l]
+            e["a_val"] = jnp.asarray(np.where(mask, vals[src], 0.0), self.dtype)
+            e["dinv"] = jnp.asarray(
+                np.where(diag != 0, 1.0 / np.where(diag == 0, 1, diag), 1.0),
+                self.dtype)
+            e["lam"] = jnp.asarray(float(lam[0]), self.dtype)
+        self.data["coarse_inv"] = self._coarse_inv(L)
+
+    def _coarse_inv(self, L):
+        nc = self._coarse_n
+        dense = np.zeros(nc * nc, np.float64)
+        L.amg_coarse_dense(self.handle, dense)
+        M = dense.reshape(nc, nc)
+        if not np.isfinite(M).all():
+            raise FloatingPointError(
+                "AMG coarse matrix has non-finite entries (check the "
+                "element matrices / stash feeding CSRAssembler)")
+        # Galerkin coarse matrices are symmetric: the eigh-based pinv is
+        # both faster and robust where dgesdd occasionally fails to
+        # converge on ill-conditioned inputs
+        try:
+            coarse_inv = np.linalg.pinv(M, hermitian=True)
+        except np.linalg.LinAlgError:
+            coarse_inv = np.linalg.pinv(M + 1e-12 * np.eye(nc) * np.abs(M).max())
+        return jnp.asarray(coarse_inv, self.dtype)
 
     def _extract(self, L):
         h = self.handle
         nlev = L.amg_num_levels(h)
         levels = []
+        self._struct = []
         for l in range(nlev):
             dims = np.zeros(4, np.int64)
             L.amg_level_dims(h, l, dims)
@@ -96,6 +146,10 @@ class AMGPreconditioner:
             lam = np.zeros(1, np.float64)
             L.amg_get_matrix(h, l, rowptr, colind, vals, diag, lam)
             a_idx, a_val = _csr_to_ell(n, rowptr, colind, vals, self.dtype)
+            src, mask, _ = _ell_map(n, rowptr)
+            self._struct.append({"rowptr": rowptr, "colind": colind,
+                                 "vals": vals, "diag": diag, "lam": lam,
+                                 "src": src, "mask": mask})
             entry = {
                 "n": n,
                 "a_idx": a_idx, "a_val": a_val,
@@ -122,25 +176,10 @@ class AMGPreconditioner:
                     self.dtype,
                 )
             levels.append(entry)
-        nc = levels[-1]["n"]
-        dense = np.zeros(nc * nc, np.float64)
-        L.amg_coarse_dense(h, dense)
-        M = dense.reshape(nc, nc)
-        if not np.isfinite(M).all():
-            raise FloatingPointError(
-                "AMG coarse matrix has non-finite entries (check the "
-                "element matrices / stash feeding CSRAssembler)")
-        # Galerkin coarse matrices are symmetric: the eigh-based pinv is
-        # both faster and robust where dgesdd occasionally fails to
-        # converge on ill-conditioned inputs
-        try:
-            coarse_inv = np.linalg.pinv(M, hermitian=True)
-        except np.linalg.LinAlgError:
-            coarse_inv = np.linalg.pinv(M + 1e-12 * np.eye(nc) * np.abs(M).max())
+        self._coarse_n = levels[-1]["n"]
         for e in levels:
             e.pop("n")          # keep the pytree numeric-leaf only
-        self.data = {"levels": levels,
-                     "coarse_inv": jnp.asarray(coarse_inv, self.dtype)}
+        self.data = {"levels": levels, "coarse_inv": self._coarse_inv(L)}
 
     # -- device-side application (jit-traceable) -------------------------
     def apply(self, r_flat, data):
