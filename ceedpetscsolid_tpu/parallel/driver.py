@@ -629,14 +629,16 @@ class DistributedProblem:
             load = inc / n_inc
             policy = None
             converged, reason = False, "max_it"
-            for _ in range(max_newton):
+            pc_lag = max(getattr(cfg, "pc_lag", 1), 1)
+            for k in range(max_newton):
                 nonlinear = self.model.nonlinear
-                if self.use_mg and (nonlinear or amg_data is None):
+                refresh = nonlinear and (k % pc_lag == 0)
+                if self.use_mg and (refresh or amg_data is None):
                     # FormJacobian analog: refresh the replicated AMG coarse
                     # hierarchy from the on-device stash; linear problems
                     # assemble exactly once (problem.py does the same).
                     amg_data = self.refresh_amg(u, load)
-                if nonlinear or pc is None:
+                if refresh or pc is None:
                     pc = self.pc_setup(u, load)
                 u, rnorm_in, rnorm, iters = self.newton_step(
                     u, load, amg_data=amg_data, pc=pc

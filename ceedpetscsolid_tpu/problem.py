@@ -71,6 +71,12 @@ class Config:
     # failed-increment retries with halved load delta (0 = reference
     # behavior: break the continuation loop on divergence)
     substep_retries: int = 4
+    # Preconditioner refresh cadence: rebuild the AMG hierarchy values and
+    # the per-level Chebyshev diagonals/eigen-bounds every pc_lag Newton
+    # iterations (1 = reference per-Jacobian cadence, misc.c:151-183).
+    # CG always applies the FRESH Jacobian — a lagged preconditioner only
+    # affects CG iteration counts, never the converged answer.
+    pc_lag: int = 1
 
     def __post_init__(self):
         if self.test_mode:
@@ -298,18 +304,20 @@ class ElasticityProblem:
     def _jacobian_action(self, v, stash):
         return self._jac_act_j(v, stash, self._big)
 
-    def _linear_solve(self, G, stash):
-        self._refresh_amg(stash)
-        pc = self._pc_setup(stash)
+    def _linear_solve(self, G, stash, refresh=True):
+        if refresh or (self._use_amg and "amg" not in self._big):
+            self._refresh_amg(stash)
+        pc = self._pc_setup(stash, refresh=refresh)
         return self._lin_solve_j(G, stash, self._big, pc)
 
-    def _pc_setup(self, stash):
+    def _pc_setup(self, stash, refresh=True):
         """Preconditioner data (level diagonals + Chebyshev eigenvalue
         bounds), refreshed once per Jacobian like the reference's
         KSPChebyshevEstEig (elasticity.c:539-545) — NOT inside the solve.
         For linear models the Jacobian never changes, so it is computed
-        exactly once."""
-        if self._pc_cache is not None and not self.model.nonlinear:
+        exactly once; refresh=False (pc_lag cadence) reuses the last one."""
+        if self._pc_cache is not None and \
+                (not self.model.nonlinear or not refresh):
             return self._pc_cache
         pc = self._pc_setup_j(stash, self._big)
         self._pc_cache = pc
@@ -590,12 +598,15 @@ class ElasticityProblem:
         def run_newton(load, u0):
             bc_vals = self.bc_values(load)
             F = self.F * load
+            nstep = [0]
 
             def residual(uu):
                 return self._nonlinear_residual(uu, bc_vals, F)
 
             def linear_solve(uu, G, stash):
-                return self._linear_solve(G, stash)
+                refresh = (nstep[0] % max(cfg.pc_lag, 1)) == 0
+                nstep[0] += 1
+                return self._linear_solve(G, stash, refresh=refresh)
 
             return newton_solve(residual, linear_solve, u0, cfg.newton)
 
