@@ -39,6 +39,7 @@ class ShardArrays:
     owned_valid: Any         # (ndev, n_owned_max) bool
     n_owned_max: int         # static
     n_local: int             # static
+    n_elem_int: int          # static: leading interior elements, all shards
 
     @staticmethod
     def from_partition(part: SpacePartition) -> "ShardArrays":
@@ -51,6 +52,7 @@ class ShardArrays:
             owned_valid=jnp.asarray(part.owned_valid),
             n_owned_max=part.n_owned_max,
             n_local=part.n_local,
+            n_elem_int=part.n_elem_int,
         )
 
 
@@ -59,9 +61,10 @@ jax.tree_util.register_pytree_node(
     lambda s: (
         (s.conn_local, s.pair_owned_slot, s.pair_valid_owner,
          s.pair_ghost_slot, s.pair_valid_holder, s.owned_valid),
-        (s.n_owned_max, s.n_local),
+        (s.n_owned_max, s.n_local, s.n_elem_int),
     ),
-    lambda aux, ch: ShardArrays(*ch, n_owned_max=aux[0], n_local=aux[1]),
+    lambda aux, ch: ShardArrays(*ch, n_owned_max=aux[0], n_local=aux[1],
+                                n_elem_int=aux[2]),
 )
 
 
@@ -73,21 +76,36 @@ def _blk(x):
     return x[0]
 
 
-def g2l(owned, sa: ShardArrays):
-    """(1, c, n_owned_max) -> (c, n_local): fill owned + exchange ghosts.
-
-    Component-major: the node axis is minor-most (full TPU lanes)."""
+def g2l_start(owned, sa: ShardArrays):
+    """Issue the ghost-value all_to_all; returns (owned block, in-flight
+    recv). Compute that only needs owned values (interior elements) can be
+    scheduled between start and finish — XLA's async collectives then hide
+    the exchange behind it (halo/compute overlap, SURVEY §5)."""
     ow = _blk(owned)                                            # (c, n_owned)
-    c = ow.shape[0]
     send = jnp.take(ow, _blk(sa.pair_owned_slot), axis=1)       # (c, ndev, m)
     send = send * _blk(sa.pair_valid_owner)[None]
     recv = jax.lax.all_to_all(send, AXIS, split_axis=1, concat_axis=1,
                               tiled=True)
+    return ow, recv
+
+
+def g2l_finish(ow, recv, sa: ShardArrays):
+    """Assemble the (c, n_local) local vector from owned block + received
+    ghost values (pad slots land in trash)."""
+    c = ow.shape[0]
     local = jnp.zeros((c, sa.n_local), ow.dtype)
     local = local.at[:, : sa.n_owned_max].set(ow)
     gslots = _blk(sa.pair_ghost_slot).reshape(-1)               # pads -> trash
     local = local.at[:, gslots].set(recv.reshape(c, -1))
     return local
+
+
+def g2l(owned, sa: ShardArrays):
+    """(1, c, n_owned_max) -> (c, n_local): fill owned + exchange ghosts.
+
+    Component-major: the node axis is minor-most (full TPU lanes)."""
+    ow, recv = g2l_start(owned, sa)
+    return g2l_finish(ow, recv, sa)
 
 
 def l2g_add(local, sa: ShardArrays):
@@ -118,6 +136,16 @@ def scatter_elements(ve, sa: ShardArrays):
     return jax.vmap(
         lambda d: jax.ops.segment_sum(d, ids, num_segments=sa.n_local)
     )(ve.reshape(c, -1))
+
+
+def node_rows(src, conn_rows):
+    """(c, n) values + (ne, P3) local indices -> (ne, P3*c) node-major rows
+    (components contiguous per node). Generic over the source vector: the
+    owned block for interior-element batches, the full local vector for
+    boundary batches."""
+    ne, P3 = conn_rows.shape
+    rows = jnp.take(src.T, conn_rows.reshape(-1), axis=0)
+    return rows.reshape(ne, P3 * src.shape[0])
 
 
 def gather_node_rows(local, sa: ShardArrays):

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from . import dist, mg as dmg
+from . import dist, mg as dmg, slab as slab_mod
 from ..models.base import Mat3
 from ..ops.structured import grad_gemm_matrices
 from ..solve.newton import NewtonOptions, NewtonPolicy
@@ -54,6 +54,7 @@ class DistributedProblem:
     ndev: int
     devices: list | None = None
     use_mg: bool | None = None
+    use_slab: bool | None = None   # None = auto: spectral slab fold on boxes
 
     def __post_init__(self):
         prob = self.problem
@@ -62,7 +63,22 @@ class DistributedProblem:
             self.use_mg = (
                 prob.config.multigrid != "none" and len(prob.spaces) > 1
             )
-        self.part = partition_space(fes.conn, fes.num_nodes, self.ndev)
+        # Box meshes: slab-partitioned spectral fold for the fine-level
+        # residual / Krylov matvec / finest smoother (parallel/slab.py) —
+        # the serial spectral hot path run per shard. Elements then follow
+        # the slab-aligned blocks; otherwise the interior-first reorder of
+        # partition_space drives the halo/compute overlap of split_rows.
+        self.slab = None
+        if self.use_slab is not False:
+            self.slab = slab_mod.SlabSpectral.build(prob, self.ndev)
+        if self.use_slab is True and self.slab is None:
+            raise ValueError("use_slab=True requires a box mesh with the "
+                             "spectral fine path and ndev <= ez")
+        if self.slab is not None:
+            self.part = partition_space(fes.conn, fes.num_nodes, self.ndev,
+                                        elem_gid=self.slab.elem_gid)
+        else:
+            self.part = partition_space(fes.conn, fes.num_nodes, self.ndev)
         self.sa = ShardArrays.from_partition(self.part)
         self.model = prob.model
         self.phys = prob.phys
@@ -128,17 +144,25 @@ class DistributedProblem:
             if l == len(self.problem.spaces) - 1:
                 self._level_parts[l] = self.part
             else:
+                # same element order as the fine partition: element-indexed
+                # data (qdata, gradu stash) is shared across levels
                 self._level_parts[l] = partition_space(
-                    space.conn, space.num_nodes, self.ndev)
+                    space.conn, space.num_nodes, self.ndev,
+                    elem_gid=self.part.elem_gid)
         return self._level_parts[l]
 
     def _pad_qdata(self, qd):
+        """(nq, nelem, Q3) global qdata -> (ndev, nq, nelem_max, Q3) in the
+        shard-local (interior-first) element order; padded elements carry
+        zero qdata and contribute nothing."""
         nq, nelem, Q3 = qd.shape
-        out = np.zeros((nq, self.part.ndev * self.part.nelem_max, Q3), qd.dtype)
-        out[:, :nelem] = qd
-        return np.moveaxis(
-            out.reshape(nq, self.part.ndev, self.part.nelem_max, Q3), 1, 0
-        )
+        part = self.part
+        out = np.zeros((part.ndev, nq, part.nelem_max, Q3), qd.dtype)
+        for s in range(part.ndev):
+            gids = part.elem_gid[s]
+            valid = gids >= 0
+            out[s][:, valid] = qd[:, gids[valid]]
+        return out
 
     # -- host-side converters ------------------------------------------
     def to_owned(self, u_global: np.ndarray) -> jnp.ndarray:
@@ -175,8 +199,10 @@ class DistributedProblem:
                                        self.mask_sh, self.qdata_sh,
                                        self.qdata_p_sh, self.sa))
         nd = em_sh.shape[-1]
-        valid = self.part.elem_valid.reshape(-1)
-        em = em_sh.reshape(-1, nd, nd)[valid]      # global element order
+        gids = self.part.elem_gid.reshape(-1)
+        valid = gids >= 0
+        em = np.empty((int(valid.sum()), nd, nd), em_sh.dtype)
+        em[gids[valid]] = em_sh.reshape(-1, nd, nd)[valid]  # global order
         self._amg.setup(self._assembler0.assemble(em))
         return self._amg.data
 
@@ -220,32 +246,140 @@ class DistributedProblem:
         else:
             self.sgrads_p = None
 
-        def rows_residual(local, sa_, qd, sk):
-            """Single-GEMM residual pipeline on a shard's local E-rows."""
-            Kg, KgT = sk
-            due = dist.gather_node_rows(local, sa_) @ Kg
-            du = Mat3([due[:, k * Q3f:(k + 1) * Q3f] for k in range(9)])
-            dv, stash = model.residual_planes(du, qd, phys)
-            ve = jnp.concatenate(dv.m, axis=1) @ KgT
-            return dist.scatter_node_rows(ve, sa_), stash
+        def split_rows(owned, sa_, body):
+            """Halo-overlapped rows pipeline (ApplyLocalCeedOp analog,
+            matops.c:26-60): the ghost all_to_all is issued first, the
+            INTERIOR element batch ([0, n_elem_int) — owned-only
+            connectivity on every shard, partition.partition_space) computes
+            from the owned block while the exchange is in flight, and the
+            boundary batch runs after g2l_finish. body(rows, esl) ->
+            (ve_rows, aux); aux (the gradu stash) is re-concatenated in
+            element order."""
+            k = sa_.n_elem_int
+            ow, recv = dist.g2l_start(owned, sa_)
+            conn = dist._blk(sa_.conn_local)
+            veA, auxA = body(dist.node_rows(ow, conn[:k]), slice(0, k))
+            local = dist.g2l_finish(ow, recv, sa_)
+            veB, auxB = body(dist.node_rows(local, conn[k:]),
+                             slice(k, None))
+            accB = jax.ops.segment_sum(
+                veB.reshape(-1, 3), conn[k:].reshape(-1),
+                num_segments=sa_.n_local).T
+            out = dist.l2g_add(accB, sa_)
+            accA = jax.ops.segment_sum(
+                veA.reshape(-1, 3), conn[:k].reshape(-1),
+                num_segments=sa_.n_owned_max).T
+            out = out + accA[None]
+            aux = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), auxA, auxB)
+            return out, aux
 
-        def rows_presidual(local, sa_, qdp, skp):
-            """Reduced-integration pressure residual rows (composite)."""
-            Kgp, KgTp = skp
-            due = dist.gather_node_rows(local, sa_) @ Kgp
-            dup = Mat3([due[:, k * Q3p_:(k + 1) * Q3p_] for k in range(9)])
-            dvp, stash_p = model.pressure_residual_planes(dup, qdp, phys)
-            vep = jnp.concatenate(dvp.m, axis=1) @ KgTp
-            return dist.scatter_node_rows(vep, sa_), stash_p
-
-        def rows_jacobian(local, sa_, qd, stash, sk, planes, Q3=None):
+        def residual_body(qd, qdp, sk, skp):
+            """Single-GEMM residual rows kernel (+ composite pressure term,
+            which shares the gathered rows)."""
             Kg, KgT = sk
-            Q3 = Q3 or Q3f
-            due = dist.gather_node_rows(local, sa_) @ Kg
-            ddu = Mat3([due[:, k * Q3:(k + 1) * Q3] for k in range(9)])
-            ddv = planes(ddu, qd, stash, phys)
-            ve = jnp.concatenate(ddv.m, axis=1) @ KgT
-            return dist.scatter_node_rows(ve, sa_)
+
+            def body(rows, esl):
+                due = rows @ Kg
+                du = Mat3([due[:, i * Q3f:(i + 1) * Q3f] for i in range(9)])
+                dv, stash = model.residual_planes(du, qd[:, esl], phys)
+                ve = jnp.concatenate(dv.m, axis=1) @ KgT
+                if composite:
+                    Kgp, KgTp = skp
+                    duep = rows @ Kgp
+                    dup = Mat3([duep[:, i * Q3p_:(i + 1) * Q3p_]
+                                for i in range(9)])
+                    dvp, stash_p = model.pressure_residual_planes(
+                        dup, qdp[:, esl], phys)
+                    ve = ve + jnp.concatenate(dvp.m, axis=1) @ KgTp
+                    return ve, (stash, stash_p)
+                return ve, stash
+
+            return body
+
+        def jacobian_body(qd, qdp, stash, sk, skp):
+            Kg, KgT = sk
+
+            def body(rows, esl):
+                st = jax.tree_util.tree_map(
+                    lambda x: x[esl], stash[0] if composite else stash)
+                due = rows @ Kg
+                ddu = Mat3([due[:, i * Q3f:(i + 1) * Q3f] for i in range(9)])
+                ddv = model.jacobian_planes(ddu, qd[:, esl], st, phys)
+                ve = jnp.concatenate(ddv.m, axis=1) @ KgT
+                if composite:
+                    Kgp, KgTp = skp
+                    stp = jax.tree_util.tree_map(lambda x: x[esl], stash[1])
+                    duep = rows @ Kgp
+                    ddup = Mat3([duep[:, i * Q3p_:(i + 1) * Q3p_]
+                                 for i in range(9)])
+                    ddvp = model.pressure_jacobian_planes(
+                        ddup, qdp[:, esl], stp, phys)
+                    ve = ve + jnp.concatenate(ddvp.m, axis=1) @ KgTp
+                return ve, None
+
+            return body
+
+        # --- slab-spectral fine pipeline (box meshes, parallel/slab.py) --
+        slab = self.slab
+        if slab is not None:
+            ssp, ssp_p = slab.sp, slab.sp_p
+            sNP, sNyNx = slab.NP, slab.NyNx
+
+            def slab_unpack(slabd, smats2):
+                qdl = slabd["qd"][0]
+                qdpl = slabd["qdp"][0] if composite else None
+                isf = slabd["isf"][0, 0]
+                smats, smats_p = smats2
+                return qdl, qdpl, isf, smats, smats_p
+
+            def slab_residual(u_in, sa_, slabd, smats2):
+                qdl, qdpl, isf, smats, smats_p = slab_unpack(slabd, smats2)
+                local = dist.g2l(u_in, sa_)
+                ll = slab_mod.lattice_from_local(local, sa_, isf, sNP, sNyNx)
+                du = ssp.grad(ll, smats)
+                dv, stash = model.residual_planes(du, qdl, phys)
+                v = ssp.grad_T(dv, smats)
+                if composite:
+                    dup = ssp_p.grad(ll, smats_p)
+                    dvp, stash_p = model.pressure_residual_planes(
+                        dup, qdpl, phys)
+                    v = v + ssp_p.grad_T(dvp, smats_p)
+                    stash = (stash, stash_p)
+                lout = slab_mod.local_to_lattice_adjoint(
+                    v, sa_, isf, sNP, sNyNx)
+                return dist.l2g_add(lout, sa_), stash
+
+            def slab_jacobian(v_in, sa_, stash, slabd, smats2):
+                qdl, qdpl, isf, smats, smats_p = slab_unpack(slabd, smats2)
+                local = dist.g2l(v_in, sa_)
+                ll = slab_mod.lattice_from_local(local, sa_, isf, sNP, sNyNx)
+                ddu = ssp.grad(ll, smats)
+                st = stash[0] if composite else stash
+                ddv = model.jacobian_planes(ddu, qdl, st, phys)
+                w = ssp.grad_T(ddv, smats)
+                if composite:
+                    ddup = ssp_p.grad(ll, smats_p)
+                    ddvp = model.pressure_jacobian_planes(
+                        ddup, qdpl, stash[1], phys)
+                    w = w + ssp_p.grad_T(ddvp, smats_p)
+                lout = slab_mod.local_to_lattice_adjoint(
+                    w, sa_, isf, sNP, sNyNx)
+                return dist.l2g_add(lout, sa_)
+
+        def stash_to_elem(stash):
+            """Native (slab: global-quad planes) stash -> element-major
+            Mat3 planes for the row-path level applies / diagonals /
+            element matrices (layout converters of ops/spectral.py)."""
+            if slab is None or stash is None:
+                return stash
+            if composite:
+                mu, p_ = stash
+                return (
+                    jax.tree_util.tree_map(ssp.plane_to_elem, mu),
+                    jax.tree_util.tree_map(ssp_p.plane_to_elem, p_),
+                )
+            return jax.tree_util.tree_map(ssp.plane_to_elem, stash)
 
         def elem_diagonal(qdata, stash, basis, jac_qf):
             BB = jnp.einsum("aqp,bqp->qpab", basis.grad, basis.grad)
@@ -261,56 +395,54 @@ class DistributedProblem:
             return diag_e
 
         # --- shared in-shard building blocks -----------------------------
-        def full_residual(u, bc_vals, F, mask, qd, qdp, sa_, sgrads, sgrads_p):
+        def full_residual(u, bc_vals, F, mask, qd, qdp, sa_, sgrads, sgrads_p,
+                          slabd, smats2):
             # full-f32 matmul precision: the residual sets the Newton
             # convergence floor (utils/precise.accurate_matmuls)
             with accurate_matmuls():
                 u_in = jnp.where(mask, bc_vals, u)
-                local = dist.g2l(u_in, sa_)
-                acc, stash = rows_residual(local, sa_, qd, sgrads[-1])
-                if composite:
-                    accp, stash_p = rows_presidual(local, sa_, qdp,
-                                                   sgrads_p[-1])
-                    acc = acc + accp
-                    stash = (stash, stash_p)
-                r = dist.l2g_add(acc, sa_)
+                if slab is not None:
+                    r, stash = slab_residual(u_in, sa_, slabd, smats2)
+                else:
+                    body = residual_body(qd, qdp, sgrads[-1],
+                                         sgrads_p[-1] if composite else None)
+                    r, stash = split_rows(u_in, sa_, body)
                 return jnp.where(mask, 0.0, r - F), stash
 
-        def fine_jac_apply(v, stash, mask, qd, qdp, sa_, sgrads, sgrads_p):
+        def fine_jac_apply(v, stash, mask, qd, qdp, sa_, sgrads, sgrads_p,
+                           slabd, smats2):
             # outer Krylov matvec: full-f32 precision (the CG attainable
             # residual stalls at matvec-noise x cond with the bf16-default
             # MXU passes); smoother-level applies stay at the fast default
             with accurate_matmuls():
                 v_in = jnp.where(mask, 0.0, v)
-                local = dist.g2l(v_in, sa_)
-                if composite:
-                    acc = rows_jacobian(local, sa_, qd, stash[0], sgrads[-1],
-                                        model.jacobian_planes)
-                    acc = acc + rows_jacobian(
-                        local, sa_, qdp, stash[1], sgrads_p[-1],
-                        model.pressure_jacobian_planes, Q3=Q3p_)
+                if slab is not None:
+                    jv = slab_jacobian(v_in, sa_, stash, slabd, smats2)
                 else:
-                    acc = rows_jacobian(local, sa_, qd, stash, sgrads[-1],
-                                        model.jacobian_planes)
-                jv = dist.l2g_add(acc, sa_)
+                    body = jacobian_body(qd, qdp, stash, sgrads[-1],
+                                         sgrads_p[-1] if composite else None)
+                    jv, _ = split_rows(v_in, sa_, body)
                 return jnp.where(mask, 0.0, jv)
 
-        def make_level_applies(stash, qd, qdp, lvls, sgrads, sgrads_p):
+        def make_level_applies(stash_e, qd, qdp, lvls, sgrads, sgrads_p,
+                               stash_native=None, slabd=None, smats2=None):
             def make_lvl_apply(l):
+                if slab is not None and l == nlev - 1:
+                    def A(v, lv=lvls[l]):
+                        v_in = jnp.where(dist._blk(lv["mask"]), 0.0,
+                                         dist._blk(v))[None]
+                        jv = slab_jacobian(v_in, lv["sa"], stash_native,
+                                           slabd, smats2)
+                        return jnp.where(lv["mask"], 0.0, jv)
+
+                    return A
+                body = jacobian_body(qd, qdp, stash_e, sgrads[l],
+                                     sgrads_p[l] if composite else None)
+
                 def A(v, lv=lvls[l]):
                     v_in = jnp.where(dist._blk(lv["mask"]), 0.0,
                                      dist._blk(v))[None]
-                    local = dist.g2l(v_in, lv["sa"])
-                    if composite:
-                        acc = rows_jacobian(local, lv["sa"], qd, stash[0],
-                                            sgrads[l], model.jacobian_planes)
-                        acc = acc + rows_jacobian(
-                            local, lv["sa"], qdp, stash[1], sgrads_p[l],
-                            model.pressure_jacobian_planes, Q3=Q3p_)
-                    else:
-                        acc = rows_jacobian(local, lv["sa"], qd, stash,
-                                            sgrads[l], model.jacobian_planes)
-                    jv = dist.l2g_add(acc, lv["sa"])
+                    jv, _ = split_rows(v_in, lv["sa"], body)
                     return jnp.where(lv["mask"], 0.0, jv)
 
                 return A
@@ -335,21 +467,24 @@ class DistributedProblem:
         # (per-Jacobian cadence; cached across Newton steps for linear
         # models by the host loop — mirrors problem.py _pc_setup)
         def pc_body(u, bc_vals, F, mask, qdata, qdata_p, sa_, lvls,
-                    sgrads, sgrads_p):
+                    sgrads, sgrads_p, slabd, smats2):
             qd = qdata[0]
             qdp = qdata_p[0] if composite else None
             _, stash = full_residual(u, bc_vals, F, mask, qd, qdp, sa_,
-                                     sgrads, sgrads_p)
+                                     sgrads, sgrads_p, slabd, smats2)
+            stash_e = stash_to_elem(stash)
             if not use_mg:
                 lv = {"sa": sa_, "mask": mask}
-                diag = level_diag(0, stash, qd, qdp, lv)
+                diag = level_diag(0, stash_e, qd, qdp, lv)
                 return (1.0 / diag,)
-            lvl_apply = make_level_applies(stash, qd, qdp, lvls,
-                                           sgrads, sgrads_p)
+            lvl_apply = make_level_applies(stash_e, qd, qdp, lvls,
+                                           sgrads, sgrads_p,
+                                           stash_native=stash,
+                                           slabd=slabd, smats2=smats2)
             dinvs, bounds = [], []
             for l in range(nlev):
                 lv = lvls[l]
-                diag = level_diag(l, stash, qd, qdp, lv)
+                diag = level_diag(l, stash_e, qd, qdp, lv)
                 dinv = 1.0 / diag
                 dinvs.append(dinv)
                 valid = (~dist._blk(lv["mask"]))[None] & \
@@ -362,28 +497,29 @@ class DistributedProblem:
 
         # --- the Newton step ---------------------------------------------
         def body(u, bc_vals, F, mask, qdata, qdata_p, sa_, lvls, amg_data,
-                 sgrads, sgrads_p, pc):
+                 sgrads, sgrads_p, pc, slabd, smats2):
             qd = qdata[0]
             qdp = qdata_p[0] if composite else None
             msk = mask
 
             def residual(uo):
                 return full_residual(uo, bc_vals, F, msk, qd, qdp, sa_,
-                                     sgrads, sgrads_p)
+                                     sgrads, sgrads_p, slabd, smats2)
 
             G, stash = residual(u)
 
             def jac_apply(v):
                 return fine_jac_apply(v, stash, msk, qd, qdp, sa_,
-                                      sgrads, sgrads_p)
+                                      sgrads, sgrads_p, slabd, smats2)
 
             if not use_mg:
                 (dinv,) = pc
                 M = lambda r: dinv * r            # noqa: E731
             else:
                 dinvs, bounds = pc
-                lvl_apply = make_level_applies(stash, qd, qdp, lvls,
-                                               sgrads, sgrads_p)
+                lvl_apply = make_level_applies(
+                    stash_to_elem(stash), qd, qdp, lvls, sgrads, sgrads_p,
+                    stash_native=stash, slabd=slabd, smats2=smats2)
 
                 def prolong_l(l, uc):
                     c2f = levels_static[l].c2f
@@ -505,7 +641,9 @@ class DistributedProblem:
             )
             u_new = u + lam * d
             rnorm_in = dist.dnorm(G)
-            return u_new, rnorm_in, rnorm, iters
+            step_norm = jnp.abs(lam) * dist.dnorm(d)
+            unorm = dist.dnorm(u_new)
+            return u_new, rnorm_in, rnorm, iters, step_norm, unorm
 
         spec = P(AXIS)
         lvls_spec = spec if self.use_mg else None
@@ -517,6 +655,19 @@ class DistributedProblem:
         )
         in_specs = (spec, spec, spec, spec, spec, qdp_spec, spec, lvls_spec,
                     P(), P(), sgp_spec)
+        # slab-spectral device data: qdata planes + first-shard flag travel
+        # sharded; the banded GEMM matrices are replicated
+        if slab is not None:
+            self._slabd = {"qd": slab.qd_planes, "isf": slab.is_first}
+            if composite:
+                self._slabd["qdp"] = slab.qdp_planes
+            self._smats2 = (slab.sp.matrices(),
+                            slab.sp_p.matrices() if composite else ())
+        else:
+            self._slabd = {}
+            self._smats2 = ((), ())
+        slab_specs = (spec, P())
+
         def _accurate(fn):
             """Trace the whole SPMD computation at full-f32 matmul
             precision: PCG needs SYMMETRIC A and M, and bf16-default MXU
@@ -533,7 +684,7 @@ class DistributedProblem:
             jax.shard_map(
                 _accurate(pc_body),
                 mesh=self.mesh,
-                in_specs=in_specs[:8] + (P(), sgp_spec),
+                in_specs=in_specs[:8] + (P(), sgp_spec) + slab_specs,
                 out_specs=pc_spec,
             )
         )
@@ -541,8 +692,8 @@ class DistributedProblem:
             jax.shard_map(
                 _accurate(body),
                 mesh=self.mesh,
-                in_specs=in_specs + (pc_spec,),
-                out_specs=(spec, P(), P(), P()),
+                in_specs=in_specs + (pc_spec,) + slab_specs,
+                out_specs=(spec, P(), P(), P(), P(), P()),
             )
         )
 
@@ -556,14 +707,17 @@ class DistributedProblem:
                 model.pressure_jacobian_qf, phys, pbases[0], self.dtype
             ) if composite else None
 
-            def emats_body(u, bc_vals, F, mask, qdata, qdata_p, sa_, sk, skp):
-                u_in = jnp.where(mask, bc_vals, u)
-                local = dist.g2l(u_in, sa_)
-                _, stash = rows_residual(local, sa_, qdata[0], sk)
-                em = em_mu(qdata[0], stash)
+            def emats_body(u, bc_vals, F, mask, qdata, qdata_p, sa_, sk, skp,
+                           slabd, smats2):
+                _, stash = full_residual(u, bc_vals, F, mask, qdata[0],
+                                         qdata_p[0] if composite else None,
+                                         sa_, (sk,), (skp,), slabd, smats2)
+                stash = stash_to_elem(stash)
                 if composite:
-                    _, stash_p = rows_presidual(local, sa_, qdata_p[0], skp)
-                    em = em + em_p(qdata_p[0], stash_p)
+                    em = em_mu(qdata[0], stash[0])
+                    em = em + em_p(qdata_p[0], stash[1])
+                else:
+                    em = em_mu(qdata[0], stash)
                 return em[None]
 
             emats_sm = jax.jit(
@@ -571,7 +725,7 @@ class DistributedProblem:
                     _accurate(emats_body),
                     mesh=self.mesh,
                     in_specs=(spec, spec, spec, spec, spec, qdp_spec, spec,
-                              P(), sgp_spec),
+                              P(), sgp_spec) + slab_specs,
                     out_specs=spec,
                 )
             )
@@ -580,7 +734,8 @@ class DistributedProblem:
             # contraction uses the p=1 basis
             self._emats = lambda *a: emats_sm(
                 *a, self._sgrads[-1],
-                self.sgrads_p[-1] if composite else None)
+                self.sgrads_p[-1] if composite else None,
+                self._slabd, self._smats2)
 
     # ------------------------------------------------------------------
     def pc_setup(self, u_owned, load_increment: float):
@@ -594,7 +749,8 @@ class DistributedProblem:
         lvls = self.level_arrays if self.use_mg else None
         return self._pc_sm(u_owned, bc, F, self.mask_sh, self.qdata_sh,
                            self.qdata_p_sh, self.sa, lvls,
-                           self._sgrads, self.sgrads_p)
+                           self._sgrads, self.sgrads_p,
+                           self._slabd, self._smats2)
 
     def newton_step(self, u_owned, load_increment: float, amg_data=None,
                     pc=None):
@@ -608,7 +764,8 @@ class DistributedProblem:
         lvls = self.level_arrays if self.use_mg else None
         return self._step(u_owned, bc, F, self.mask_sh, self.qdata_sh,
                           self.qdata_p_sh, self.sa, lvls, amg_data,
-                          self._sgrads, self.sgrads_p, pc)
+                          self._sgrads, self.sgrads_p, pc,
+                          self._slabd, self._smats2)
 
     def solve(self, num_increments=None, max_newton=50, rtol=1e-8):
         """Full load-continuation solve; returns (u_global, info dict).
@@ -624,6 +781,7 @@ class DistributedProblem:
         pc = None
         converged = True
         reason = ""
+        floor_atol = 0.0
         opts = NewtonOptions(rtol=rtol, max_it=max_newton)
         for inc in range(1, n_inc + 1):
             load = inc / n_inc
@@ -640,20 +798,23 @@ class DistributedProblem:
                     amg_data = self.refresh_amg(u, load)
                 if refresh or pc is None:
                     pc = self.pc_setup(u, load)
-                u, rnorm_in, rnorm, iters = self.newton_step(
-                    u, load, amg_data=amg_data, pc=pc
-                )
+                u, rnorm_in, rnorm, iters, step_norm, unorm = \
+                    self.newton_step(u, load, amg_data=amg_data, pc=pc)
                 total_ksp += int(iters)
                 total_newton += 1
                 if policy is None:
-                    policy = NewtonPolicy(opts, max(float(rnorm_in), 1e-300))
-                verdict = policy.check(float(rnorm))
+                    policy = NewtonPolicy(opts, max(float(rnorm_in), 1e-300),
+                                          floor_atol=floor_atol)
+                verdict = policy.check(float(rnorm), step=float(step_norm),
+                                       unorm=float(unorm))
                 if verdict is not None:
                     converged, reason = verdict
                     break
             else:
                 if policy is not None:
                     converged, reason = policy.finalize(float(rnorm))
+            if converged:
+                floor_atol = max(floor_atol, float(rnorm))
             if not converged and reason == "diverged":
                 break  # elasticity.c:668-672
         u_np = self.to_global(u)                       # (3, num_nodes)

@@ -48,7 +48,7 @@ def build_dist_levels(problem, part_fine, ndev: int) -> list[DistLevel]:
     prev_degree = None
     for l, space in enumerate(problem.spaces):
         part = part_fine if l == len(problem.spaces) - 1 else partition_space(
-            space.conn, space.num_nodes, ndev
+            space.conn, space.num_nodes, ndev, elem_gid=part_fine.elem_gid
         )
         sa = ShardArrays.from_partition(part)
         mask_np = np.asarray(problem._level_mask(space))      # (3, nn)

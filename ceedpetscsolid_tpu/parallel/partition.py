@@ -46,8 +46,10 @@ class SpacePartition:
     nelem_max: int
     n_owned_max: int
     n_local: int            # owned_max + ghost_max + 1 (trash)
+    n_elem_int: int         # leading INTERIOR elements on every shard
     conn_local: np.ndarray
     elem_valid: np.ndarray
+    elem_gid: np.ndarray    # (ndev, nelem_max) global element ids, -1 pad
     owned_global_ids: np.ndarray
     owned_valid: np.ndarray
     # indexed [owner, holder]
@@ -72,17 +74,37 @@ class SpacePartition:
         }
 
 
-def partition_space(conn: np.ndarray, num_nodes: int, ndev: int) -> SpacePartition:
-    """Partition elements into ndev contiguous blocks and build exchange maps.
+def partition_space(conn: np.ndarray, num_nodes: int, ndev: int,
+                    elem_gid: np.ndarray | None = None) -> SpacePartition:
+    """Partition elements into ndev blocks and build exchange maps.
 
     conn: (nelem, P3) global element connectivity of the space.
+
+    Within each shard, elements are reordered INTERIOR-FIRST (an element is
+    interior when every node it touches is owned by its own shard), and
+    ``n_elem_int`` records the largest k such that elements [0, k) are
+    interior on EVERY shard. The distributed operator pipelines use this
+    static split to compute interior elements while the ghost all_to_all is
+    in flight (halo/compute overlap — the design target SURVEY §5 names for
+    the PetscSF-equivalent exchange).
+
+    elem_gid: optional (ndev, nelem_max) element order of another FE space
+    over the SAME mesh (-1 padding). Passing the fine level's order to the
+    coarser p-multigrid levels keeps element-indexed data (qdata, gradu
+    stash) aligned across levels. An element whose fine-space nodes are all
+    owned by shard s touches only entities whose incident elements all live
+    on s, so it is interior at every level: the shared order preserves
+    interior-first at each level (n_elem_int is recomputed per level as the
+    leading interior run).
     """
     nelem, P3 = conn.shape
-    nelem_max = -(-nelem // ndev)
-
-    # --- element blocks -------------------------------------------------
-    elem_ids = [np.arange(s * nelem_max, min((s + 1) * nelem_max, nelem))
-                for s in range(ndev)]
+    if elem_gid is None:
+        nelem_max = -(-nelem // ndev)
+        elem_ids = [np.arange(s * nelem_max, min((s + 1) * nelem_max, nelem))
+                    for s in range(ndev)]
+    else:
+        nelem_max = elem_gid.shape[1]
+        elem_ids = [elem_gid[s][elem_gid[s] >= 0] for s in range(ndev)]
 
     # --- node ownership: lowest shard id touching the node ---------------
     owner = np.full(num_nodes, ndev, dtype=np.int32)
@@ -90,6 +112,20 @@ def partition_space(conn: np.ndarray, num_nodes: int, ndev: int) -> SpacePartiti
         nodes_s = conn[elem_ids[s]].ravel()
         owner[nodes_s] = s
     assert owner.max() < ndev, "unreferenced nodes in space"
+
+    # --- interior-first element order + common static split --------------
+    leads = []
+    for s in range(ndev):
+        ids = elem_ids[s]
+        interior = (owner[conn[ids]] == s).all(axis=1)
+        if elem_gid is None:
+            perm = np.argsort(~interior, kind="stable")
+            elem_ids[s] = ids[perm]
+            leads.append(int(interior.sum()))
+        else:                       # imposed order: leading interior run
+            nonint = np.where(~interior)[0]
+            leads.append(int(nonint[0]) if len(nonint) else len(ids))
+    n_elem_int = min(leads) if leads else 0
 
     # --- per-shard local node sets ---------------------------------------
     owned_lists = [np.where(owner == s)[0] for s in range(ndev)]
@@ -162,14 +198,20 @@ def partition_space(conn: np.ndarray, num_nodes: int, ndev: int) -> SpacePartiti
             pair_ghost_slot[t, s, :k] = [local_index[s][n] for n in nodes]
             pair_valid[t, s, :k] = True
 
+    elem_gid_out = np.full((ndev, nelem_max), -1, dtype=np.int64)
+    for s, ids in enumerate(elem_ids):
+        elem_gid_out[s, : len(ids)] = ids
+
     return SpacePartition(
         ndev=ndev,
         num_nodes_global=num_nodes,
         nelem_max=nelem_max,
         n_owned_max=n_owned_max,
         n_local=n_local,
+        n_elem_int=n_elem_int,
         conn_local=conn_local,
         elem_valid=elem_valid,
+        elem_gid=elem_gid_out,
         owned_global_ids=owned_global_ids,
         owned_valid=owned_valid,
         pair_owned_slot=pair_owned_slot,

@@ -594,6 +594,7 @@ class ElasticityProblem:
         t0 = time.perf_counter()
         last = None
         load_done = 0.0
+        floor_atol = 0.0
 
         def run_newton(load, u0):
             bc_vals = self.bc_values(load)
@@ -608,7 +609,8 @@ class ElasticityProblem:
                 nstep[0] += 1
                 return self._linear_solve(G, stash, refresh=refresh)
 
-            return newton_solve(residual, linear_solve, u0, cfg.newton)
+            return newton_solve(residual, linear_solve, u0, cfg.newton,
+                                floor_atol=floor_atol)
 
         for inc in range(1, cfg.num_increments + 1):
             target = inc / cfg.num_increments
@@ -632,6 +634,10 @@ class ElasticityProblem:
                 if res.converged:
                     u = res.u
                     load_done = load
+                    # the attainable absolute floor observed so far: lets
+                    # sub-stepped increments (tiny entry residual) accept
+                    # stagnation at the hardware noise floor
+                    floor_atol = max(floor_atol, res.rnorm)
                 else:
                     fails += 1
                     delta *= 0.5

@@ -45,6 +45,18 @@ class NewtonOptions:
     # below the mid-grind plateaus of hard f64 states (~1e-4 relative on
     # the config-4 twist), so it separates the two regimes.
     stall_rtol: float = 1e-5
+    # A stagnating iterate whose Newton STEP is tiny relative to the
+    # solution (|lam d| <= stall_stol |u|) is sitting at the attainable
+    # floor — iterating further cannot move u. Used together with
+    # floor_atol (see NewtonPolicy) so sub-stepped load increments, whose
+    # entry residual is far smaller than the problem scale, can still
+    # accept the ABSOLUTE f32 noise floor that stall_rtol * rnorm0 of the
+    # sub-step would never reach.
+    stall_stol: float = 1e-4
+    # Meaningful progress = a new best residual at least this much lower;
+    # noise-level oscillation around the floor (f32: +-50% swings) does not
+    # reset the stall counter.
+    stall_decrease: float = 0.02
     max_stalls_floor: int = 2
     max_stalls_hard: int = 6
 
@@ -66,13 +78,31 @@ class NewtonPolicy:
 
     Call `check(rnorm, step, unorm)` after each Newton update; it returns
     a (converged, reason) pair once the iteration should stop, else None.
+
+    floor_atol: absolute residual level known to be attainable-floor
+    territory for THIS problem scale and dtype — the load-continuation
+    drivers pass the largest final rnorm of previously ACCEPTED increments.
+    The f32 noise floor is a property of the problem's absolute residual
+    magnitudes, not of the current (sub-stepped) increment's entry
+    residual: a small load delta enters with rnorm0 far below the problem
+    scale, so stall_rtol * rnorm0 can sit BELOW the hardware floor and no
+    relative criterion would ever accept. Acceptance at the absolute floor
+    additionally requires a tiny Newton step (stall_stol), which a
+    far-from-converged grind state (indefinite-tangent BC jump) never
+    produces together with a floor-level residual.
     """
 
-    def __init__(self, opts: NewtonOptions, rnorm0: float):
+    def __init__(self, opts: NewtonOptions, rnorm0: float,
+                 floor_atol: float = 0.0):
         self.opts = opts
         self.rnorm0 = rnorm0
-        self.prev = rnorm0
+        self.best = rnorm0
+        self.floor_atol = floor_atol
         self.stalls = 0
+
+    def _at_floor(self, rnorm: float) -> bool:
+        return rnorm <= max(self.opts.stall_rtol * self.rnorm0,
+                            2.0 * self.floor_atol)
 
     def check(self, rnorm: float, step: float | None = None,
               unorm: float | None = None):
@@ -81,27 +111,31 @@ class NewtonPolicy:
             return (False, "diverged")
         if rnorm <= max(o.atol, o.rtol * self.rnorm0):
             return (True, "rtol")
+        tiny = (step is not None and unorm is not None
+                and step <= o.stall_stol * max(unorm, 1e-30))
         if step is not None and unorm is not None and \
                 step <= o.stol * max(unorm, 1e-30):
             # a vanishing step only means convergence if the residual
             # actually dropped; a bailed linear solve (indefinite tangent)
             # also produces a near-zero step and must NOT be declared
             # converged — report stalled so the load loop can sub-step
-            if rnorm <= o.stall_rtol * self.rnorm0:
+            if self._at_floor(rnorm):
                 return (True, "stol")
             return (False, "stalled (no step)")
         # Stagnation at the floating-point noise floor (f32 backends hit
         # this well above any reasonable rtol): consecutive iterations
         # without meaningful residual decrease end the solve cleanly
-        # instead of burning max_it — but ONLY once real progress was made
-        # (rnorm below stall_rtol * rnorm0); a Newton grinding through a
-        # hard state far from convergence keeps iterating, and reports
-        # converged=False after max_stalls_hard flat steps so the caller
-        # can sub-step the load increment.
-        self.stalls = self.stalls + 1 if rnorm > 0.99 * self.prev else 0
-        self.prev = rnorm
-        if self.stalls >= o.max_stalls_floor and \
-                rnorm <= o.stall_rtol * self.rnorm0:
+        # instead of burning max_it — but ONLY at the floor (rnorm below
+        # stall_rtol * rnorm0, or at the absolute floor with a tiny step);
+        # a Newton grinding through a hard state far from convergence
+        # keeps iterating, and reports converged=False after
+        # max_stalls_hard flat steps so the caller can sub-step the load.
+        improved = rnorm < (1.0 - o.stall_decrease) * self.best
+        self.best = min(self.best, rnorm)
+        self.stalls = 0 if improved else self.stalls + 1
+        if self.stalls >= o.max_stalls_floor and (
+                rnorm <= o.stall_rtol * self.rnorm0
+                or (tiny and self._at_floor(rnorm))):
             return (True, "stagnation (fp noise floor)")
         if self.stalls >= o.max_stalls_hard:
             return (False, "stalled")
@@ -109,12 +143,11 @@ class NewtonPolicy:
 
     def finalize(self, rnorm: float):
         """Verdict for a loop that ran out of max_it: an iterate already
-        below the stall_rtol floor is the converged answer (retrying the
+        at the attainable floor is the converged answer (retrying the
         increment would re-burn max_it for noise-level gains); anything
         else reports failure so the load loop can sub-step."""
-        if np.isfinite(rnorm) and \
-                rnorm <= self.opts.stall_rtol * self.rnorm0:
-            return (True, "max_it (below stall_rtol)")
+        if np.isfinite(rnorm) and self._at_floor(rnorm):
+            return (True, "max_it (below stall floor)")
         return (False, "max_it")
 
 
@@ -127,6 +160,7 @@ def newton_solve(
     linear_solve: Callable,    # (u, G, stash) -> (d, ksp_iters): solves J d = -G
     u0: jnp.ndarray,
     opts: NewtonOptions,
+    floor_atol: float = 0.0,
 ) -> NewtonResult:
     """Newton iteration. `residual` must already include forcing and BCs."""
     u = u0
@@ -140,7 +174,7 @@ def newton_solve(
     reason = "max_it"
     converged = False
     it = 0
-    policy = NewtonPolicy(opts, rnorm0)
+    policy = NewtonPolicy(opts, rnorm0, floor_atol=floor_atol)
     for it in range(1, opts.max_it + 1):
         d, ksp_its = linear_solve(u, G, stash)
         lin_total += int(ksp_its)
