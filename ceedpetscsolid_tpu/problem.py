@@ -624,7 +624,13 @@ class ElasticityProblem:
             fails = 0
             while load_done < target - 1e-12:
                 load = min(target, load_done + delta)
-                res: NewtonResult = run_newton(load, u)
+                try:
+                    res: NewtonResult = run_newton(load, u)
+                except FloatingPointError:
+                    # non-finite data reached a host-side factorization
+                    # (AMG coarse): treat like a diverged increment
+                    res = NewtonResult(u, 0, 0, float("nan"), False,
+                                       "diverged (non-finite)")
                 total_snes += res.iters
                 total_ksp += res.linear_iters
                 rnorm = res.rnorm

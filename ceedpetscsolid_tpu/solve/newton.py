@@ -170,6 +170,12 @@ def newton_solve(
     lin_total = 0
     if rnorm0 == 0.0:
         return NewtonResult(u, 0, 0, 0.0, True, "zero initial residual")
+    if not np.isfinite(rnorm0):
+        # the entry state itself is outside the constitutive domain (e.g.
+        # a BC jump pushing hyperFS to J <= 0): report divergence WITHOUT
+        # touching the linear solver (whose AMG refresh would consume a
+        # NaN stash) so the load loop can sub-step
+        return NewtonResult(u, 0, 0, rnorm0, False, "diverged")
 
     reason = "max_it"
     converged = False
