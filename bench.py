@@ -111,6 +111,55 @@ def residual_bench():
     }
 
 
+def dist_parity_bench():
+    """Distributed-vs-serial fine-apply parity at equal elements/shard:
+    DistributedProblem(ndev=1) runs the slab-spectral per-shard pipeline
+    (parallel/slab.py) on the same box as residual_bench; the ratio to the
+    serial spectral apply measures the SPMD overhead (target <= ~1.3x;
+    reference runs identical per-rank CeedOperators, src/matops.c:26-60)."""
+    from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+    from ceedpetscsolid_tpu.parallel.driver import DistributedProblem
+
+    if jax.default_backend() == "cpu":
+        return None
+    faces = (24, 24, 24)
+    cfg = Config(problem="hyperFS", degree=4, nu=0.3, E=1.0, test_mode=True,
+                 box_faces=faces, multigrid="none", num_increments=1)
+    import numpy as np
+    prob = ElasticityProblem(cfg)
+    dp = DistributedProblem(prob, ndev=1)
+    ndofs = 3 * prob.fine_space.num_nodes
+    u = dp.to_owned(np.zeros((3, prob.fine_space.num_nodes), prob.dtype))
+    bc = dp.to_owned(prob.bcs.values(prob._coords, 1.0).T.astype(prob.dtype))
+    args = (bc, dp.F_sh, dp.mask_sh, dp.qdata_sh, dp.qdata_p_sh, dp.sa,
+            dp._sgrads[-1], dp.sgrads_p[-1] if dp.composite else None,
+            dp._slabd, dp._smats2)
+    reps = 20
+
+    # scan with a data dependency, like residual_bench: amortizes the
+    # per-dispatch host->TPU transport latency out of the comparison
+    @jax.jit
+    def many(u0, a):
+        def body(c, _):
+            r = dp._resid_sm(c, *a)
+            return c + 1e-30 * r, None
+        out, _ = jax.lax.scan(body, u0, None, length=reps)
+        return out
+
+    jax.block_until_ready(many(u, args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(many(u, args))
+        best = min(best, time.perf_counter() - t0)
+    t = best / reps
+    return {
+        "dist1_residual_mdofs": round(1e-6 * ndofs / t, 1),
+        "dist1_residual_ms": round(t * 1e3, 3),
+        "dist1_slab": dp.slab is not None,
+    }
+
+
 def unstructured_bench():
     """Residual throughput on the largest committed Exodus mesh (the
     reference's measured workloads are unstructured cylinders,
@@ -277,6 +326,16 @@ def main():
                 extra.update(ub)
         except Exception as e:
             extra["unstructured_error"] = repr(e)[:200]
+        try:
+            db = dist_parity_bench()
+            if db:
+                extra.update(db)
+                # SPMD overhead factor: <= ~1.3 is the VERDICT r2 target
+                extra["dist1_overhead_x"] = round(
+                    db["dist1_residual_ms"] / extra["residual_t_apply_ms"],
+                    3)
+        except Exception as e:
+            extra["dist_error"] = repr(e)[:200]
         try:
             us = unstructured_solve_bench()
             if us:

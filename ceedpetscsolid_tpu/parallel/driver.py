@@ -697,6 +697,24 @@ class DistributedProblem:
             )
         )
 
+        # --- standalone sharded residual apply (benchmark surface) -------
+        def resid_only_body(u, bc_vals, F, mask, qdata, qdata_p, sa_, sk,
+                            skp, slabd, smats2):
+            r, _ = full_residual(u, bc_vals, F, mask, qdata[0],
+                                 qdata_p[0] if composite else None,
+                                 sa_, (sk,), (skp,), slabd, smats2)
+            return r
+
+        self._resid_sm = jax.jit(
+            jax.shard_map(
+                _accurate(resid_only_body),
+                mesh=self.mesh,
+                in_specs=(spec, spec, spec, spec, spec, qdp_spec, spec,
+                          P(), sgp_spec) + slab_specs,
+                out_specs=spec,
+            )
+        )
+
         # --- sharded p=1 element-matrix step (AMG numeric refresh) -------
         if use_mg:
             from ..ops.assembly import make_element_matrices
@@ -738,6 +756,23 @@ class DistributedProblem:
                 self._slabd, self._smats2)
 
     # ------------------------------------------------------------------
+    def residual_apply(self, u_owned, load_increment: float = 1.0):
+        """BC-inserted nonlinear residual as ONE sharded computation — the
+        per-shard analog of the serial fine apply, for benchmarking the
+        distributed hot path against serial throughput at equal
+        elements/shard (reference: identical per-rank CeedOperators,
+        src/matops.c:26-60)."""
+        prob = self.problem
+        bc = self.to_owned(prob.bcs.values(
+            prob._coords, load_increment
+        ).T.astype(np.asarray(u_owned).dtype))
+        F = self.F_sh * load_increment
+        return self._resid_sm(
+            u_owned, bc, F, self.mask_sh, self.qdata_sh, self.qdata_p_sh,
+            self.sa, self._sgrads[-1],
+            self.sgrads_p[-1] if self.composite else None,
+            self._slabd, self._smats2)
+
     def pc_setup(self, u_owned, load_increment: float):
         """Sharded preconditioner refresh (diagonals + Chebyshev bounds) —
         run once per Jacobian like the serial _pc_setup."""
@@ -795,7 +830,15 @@ class DistributedProblem:
                     # FormJacobian analog: refresh the replicated AMG coarse
                     # hierarchy from the on-device stash; linear problems
                     # assemble exactly once (problem.py does the same).
-                    amg_data = self.refresh_amg(u, load)
+                    try:
+                        amg_data = self.refresh_amg(u, load)
+                    except FloatingPointError:
+                        # BC jump pushed the state outside the constitutive
+                        # domain (NaN stash): report divergence like the
+                        # serial loop (solve/newton.py entry guard)
+                        converged, reason = False, "diverged"
+                        rnorm = float("nan")
+                        break
                 if refresh or pc is None:
                     pc = self.pc_setup(u, load)
                 u, rnorm_in, rnorm, iters, step_norm, unorm = \

@@ -97,6 +97,46 @@ def main():
         out["sweep"].append(rec)
         print(json.dumps(rec), flush=True)
 
+    # --- box / slab-spectral sweep ------------------------------------
+    # The slab pipeline's halo is one node plane per interface: total
+    # ghost volume grows as (ndev-1) * Ny*Nx independent of the slab
+    # thickness — the weak-scaling signature of a 1-D domain decomposition
+    # (each added shard adds one interface, not more per-shard traffic).
+    cfgb = Config(problem="hyperFS", degree=3, nu=0.3, E=1.0,
+                  test_mode=True, box_faces=(4, 4, 8), num_increments=1,
+                  multigrid="logarithmic")
+    probb = ElasticityProblem(cfgb)
+    infob = probb.solve()
+    ub_serial = np.asarray(infob.u)
+    box = {"box_faces": [4, 4, 8], "degree": 3, "dofs": infob.dofs,
+           "sweep": []}
+    for ndev in (1, 2, 4, 8):
+        dp = DistributedProblem(probb, ndev=ndev, devices=devs[:ndev])
+        hs = dp.part.halo_stats()
+        u0 = dp.to_owned(np.zeros((3, probb.fine_space.num_nodes)))
+        amg_data = dp.refresh_amg(u0, 1.0) if dp.use_mg else None
+        pc = dp.pc_setup(u0, 1.0)
+        r = dp.newton_step(u0, 1.0, amg_data=amg_data, pc=pc)
+        jax.block_until_ready(r[0])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            r = dp.newton_step(u0, 1.0, amg_data=amg_data, pc=pc)
+            jax.block_until_ready(r[0])
+        step_ms = (time.perf_counter() - t0) / 3 * 1e3
+        ub, dinfo = dp.solve()
+        rec = {
+            "ndev": ndev,
+            "slab": dp.slab is not None,
+            "total_ghosts": hs["total_ghosts"],
+            "max_ghosts": hs["max_ghosts"],
+            "newton_step_ms": round(step_ms, 2),
+            "converged": dinfo["converged"],
+            "max_abs_diff_vs_serial": float(np.abs(ub - ub_serial).max()),
+        }
+        box["sweep"].append(rec)
+        print(json.dumps(rec), flush=True)
+    out["box_slab"] = box
+
     outp = Path(__file__).parent.parent / "results" / "WEAK_SCALING.json"
     outp.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {outp}")

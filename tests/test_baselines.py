@@ -104,3 +104,29 @@ def test_config4_deg2_regression():
     assert info.converged
     e = prob.strain_energy(info.u)
     assert abs(e - ref["strain_energy"]) < 1e-5 * abs(ref["strain_energy"])
+
+
+def test_config4_oracle_artifacts():
+    """BASELINE config 4 (hyperFS cyl-hole deg 4, clamp translate+rotate):
+    lock the committed oracle chain of results/CONFIG4_ORACLE.json
+    (scripts/validate_config4.py). The deg-2 variant of the same mesh/BC
+    anchors the TPU f32 pipeline against CPU f64 (energies agree to ~5e-11
+    rel); the flagship deg-4 TPU run must be converged with a finite final
+    residual at every accepted increment."""
+    path = RESULTS.parent / "CONFIG4_ORACLE.json"
+    if not path.exists():
+        pytest.skip("no committed CONFIG4_ORACLE.json")
+    d = json.loads(path.read_text())
+    cpu = d["cpu64-deg2"]
+    tpu = d["tpu32-deg2"]
+    assert cpu["converged"] and tpu["converged"]
+    rel = abs(tpu["strain_energy"] - cpu["strain_energy"]) / abs(
+        cpu["strain_energy"])
+    assert rel < 1e-3, rel
+    deg4 = d["tpu32-deg4"]
+    assert deg4["converged"], deg4["reason"]
+    assert deg4["degree"] == 4 and deg4["dofs"] == 973284
+    import math
+    assert math.isfinite(deg4["rnorm"])
+    for inc in deg4["increments"]:
+        assert math.isfinite(inc["rnorm"])
