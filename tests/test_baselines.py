@@ -128,5 +128,12 @@ def test_config4_oracle_artifacts():
     assert deg4["degree"] == 4 and deg4["dofs"] == 973284
     import math
     assert math.isfinite(deg4["rnorm"])
-    for inc in deg4["increments"]:
-        assert math.isfinite(inc["rnorm"])
+    # the increment log records failed sub-step attempts too (NaN entry
+    # states that the adaptive load loop then sub-stepped); every ACCEPTED
+    # record must be finite, and all 10 target loads must be reached
+    accepted = [i for i in deg4["increments"]
+                if i["reason"].startswith(("rtol", "stagnation", "stol",
+                                           "max_it (below"))]
+    assert all(math.isfinite(i["rnorm"]) for i in accepted)
+    assert max(i["load"] for i in accepted) == 1.0
+    assert len({i["inc"] for i in accepted}) == 10
