@@ -54,28 +54,28 @@ def residual_bench():
 
     bc = prob.bc_values(1.0)
     F = prob.F
-
-    resid = lambda u: prob._nonlinear_residual(u, bc, F)[0]  # noqa: E731
     u = jnp.zeros((3, prob.fine_space.num_nodes), prob.dtype)
 
     # Time `reps` residual evaluations inside ONE jitted scan with a data
     # dependency between iterations: measures operator throughput, not the
     # per-dispatch host->TPU transport latency (~0.5 ms on tunneled chips).
+    # Mesh-sized arrays ride as jit arguments (closure constants inflate
+    # the HLO payload past the tunneled remote-compile limit).
     @jax.jit
-    def many(u0):
+    def many(u0, bc_, F_, big):
         def body(c, _):
-            r = resid(c)
+            r = prob._nl_res_j(c, bc_, F_, big)[0]
             return c + 1e-30 * jnp.sum(r), None
         out, _ = jax.lax.scan(body, u0, None, length=reps)
         return out
 
-    r = many(u)          # compile + warmup
+    r = many(u, bc, F, prob._big)          # compile + warmup
     jax.block_until_ready(r)
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(many(u))
+        jax.block_until_ready(many(u, bc, F, prob._big))
         best = min(best, time.perf_counter() - t0)
 
     t_apply = best / reps
@@ -183,23 +183,25 @@ def unstructured_bench():
         ndofs = 3 * prob.fine_space.num_nodes
         bc = prob.bc_values(1.0)
         F = prob.F
-        resid = lambda u: prob._nonlinear_residual(u, bc, F)[0]  # noqa: E731
         u = jnp.zeros((3, prob.fine_space.num_nodes), prob.dtype)
         reps = 20
 
+        # the unstructured index/qdata arrays are 100s of MB: they must be
+        # jit ARGUMENTS, not closure constants — constants inflate the HLO
+        # payload past the tunneled remote-compile request limit (HTTP 413)
         @jax.jit
-        def many(u0):
+        def many(u0, bc_, F_, big):
             def body(c, _):
-                r = resid(c)
+                r = prob._nl_res_j(c, bc_, F_, big)[0]
                 return c + 1e-30 * jnp.sum(r), None
             o, _ = jax.lax.scan(body, u0, None, length=reps)
             return o
 
-        jax.block_until_ready(many(u))
+        jax.block_until_ready(many(u, bc, F, prob._big))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(many(u))
+            jax.block_until_ready(many(u, bc, F, prob._big))
             best = min(best, time.perf_counter() - t0)
         out[f"unstructured_{name}_mdofs"] = round(1e-6 * ndofs / (best / reps),
                                                   1)
@@ -209,22 +211,22 @@ def unstructured_bench():
     # gather/scatter share of the XLA row apply: time the pure E-vector
     # restriction round-trip (gather + scatter-add) through the same
     # index arrays (prob is the row-path problem from the last loop iter)
-    restr = prob.factory.fine.restr
+    restr = prob.factory.fine.restr       # pytree: travels as a jit arg
     u = jnp.zeros((3, prob.fine_space.num_nodes), prob.dtype)
 
     @jax.jit
-    def gs(u0):
+    def gs(u0, r_):
         def body(c, _):
-            ve = restr.gather(c)
-            return restr.scatter_add(ve) * 1e-30 + c, None
+            ve = r_.gather(c)
+            return r_.scatter_add(ve) * 1e-30 + c, None
         o, _ = jax.lax.scan(body, u0, None, length=20)
         return o
 
-    jax.block_until_ready(gs(u))
+    jax.block_until_ready(gs(u, restr))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(gs(u))
+        jax.block_until_ready(gs(u, restr))
         best = min(best, time.perf_counter() - t0)
     out["unstructured_gather_scatter_ms"] = round(best / 20 * 1e3, 3)
     out["unstructured_gs_share_of_row"] = round(
