@@ -131,9 +131,11 @@ def lattice_from_local(local, sa, isf, NP: int, NyNx: int):
     else:                                      # ndev == 1: no exchange
         ghost = jnp.zeros((c, NyNx), local.dtype)
     cat = jnp.concatenate([ghost, local[:, : sa.n_owned_max]], axis=1)
-    shift = isf * NyNx
-    return jax.lax.dynamic_slice(
-        cat, (jnp.zeros((), shift.dtype), shift), (c, NP * NyNx))
+    # two STATIC slices + select: a dynamic_slice with a lane-unaligned
+    # traced start (NyNx is rarely a multiple of 128) forces a slow
+    # relayout copy on TPU
+    n = NP * NyNx
+    return jnp.where(isf > 0, cat[:, NyNx: NyNx + n], cat[:, :n])
 
 
 def local_to_lattice_adjoint(v, sa, isf, NP: int, NyNx: int):
@@ -142,9 +144,8 @@ def local_to_lattice_adjoint(v, sa, isf, NP: int, NyNx: int):
     contribution of shards s > 0 rides the ghost slots back to its owner)."""
     c = v.shape[0]
     vcat = jnp.concatenate([v, jnp.zeros((c, NyNx), v.dtype)], axis=1)
-    shift = (1 - isf) * NyNx
-    owned = jax.lax.dynamic_slice(
-        vcat, (jnp.zeros((), shift.dtype), shift), (c, sa.n_owned_max))
+    no = sa.n_owned_max
+    owned = jnp.where(isf > 0, vcat[:, :no], vcat[:, NyNx: NyNx + no])
     parts = [owned]
     n_ghost = sa.n_local - sa.n_owned_max - 1
     if n_ghost > 0:
