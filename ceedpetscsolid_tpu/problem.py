@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 import time
+from contextlib import nullcontext
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Sequence
@@ -71,6 +72,19 @@ class Config:
     # failed-increment retries with halved load delta (0 = reference
     # behavior: break the continuation loop on divergence)
     substep_retries: int = 4
+    # Matmul precision INSIDE the preconditioner (V-cycle smoothers,
+    # transfers, level applies, AMG cycle): "accurate" wraps the whole
+    # V-cycle in accurate_matmuls (6-pass true-f32 GEMMs); "fast" leaves it
+    # at the XLA default (single bf16 MXU pass, 3-6x GEMM throughput).
+    # The OUTER CG matvec/residual always stays accurate — that is what
+    # bounds the attainable residual; M only needs to stay a fixed SPD
+    # operator, which it is at either precision (the same traced cycle is
+    # applied every iteration). See results/PC_PRECISION_AB.json.
+    pc_precision: str = "fast"
+    # Stop the load-continuation loop once this load fraction is reached
+    # (None = run all increments). Lets expensive oracle runs (CPU f64 at
+    # degree 4) produce a comparable state at a partial load.
+    stop_at_load: float | None = None
     # Preconditioner refresh cadence: rebuild the AMG hierarchy values and
     # the per-level Chebyshev diagonals/eigen-bounds every pc_lag Newton
     # iterations (1 = reference per-Jacobian cadence, misc.c:151-183).
@@ -104,6 +118,14 @@ class Config:
         if self.multigrid == "none":
             return [p]
         raise ValueError(f"unknown multigrid type {self.multigrid!r}")
+
+
+def _flatwrap(apply_cm):
+    """Adapt a component-major (3, nn) -> (3, nn) operator apply to the
+    flat node-major (3N,) vectors the AMG cycle works on."""
+    def fn(xf):
+        return apply_cm(xf.reshape(-1, 3).T).T.reshape(-1)
+    return fn
 
 
 class ElasticityProblem:
@@ -399,7 +421,10 @@ class ElasticityProblem:
             cfg.coarse_solve == "amg" and cfg.multigrid != "none"
         )
         if self._use_amg:
-            self._amg = AMGPreconditioner(self.dtype)
+            # top_mf: level-0 matvecs run through the matrix-free p=1
+            # operator (MXU GEMMs) instead of latency-bound ELL gathers;
+            # the assembled level-0 matrix never leaves the host
+            self._amg = AMGPreconditioner(self.dtype, top_mf=True)
             em_mu = make_element_matrices(
                 self.model.jacobian_qf, self.phys,
                 self.factory.levels[0].basis, self.dtype,
@@ -432,10 +457,13 @@ class ElasticityProblem:
                 np.asarray(self._level_mask(space0)),
             )
 
-            def amg_apply(b, coarse_data):
+            def amg_apply(b, coarse_data, top_mv=None):
                 """(3, nn0) residual -> AMG V-cycle result (node-major flat
-                inside)."""
-                xf = self._amg.apply(b.T.reshape(-1), coarse_data)
+                inside). top_mv: flat level-0 matvec (the matrix-free p=1
+                operator closed over the current stash; see
+                AMGPreconditioner.apply)."""
+                xf = self._amg.apply(b.T.reshape(-1), coarse_data,
+                                     top_matvec=top_mv)
                 return xf.reshape(-1, 3).T
 
             self._amg_apply = amg_apply
@@ -467,22 +495,42 @@ class ElasticityProblem:
 
             def linear_solve_jacobi(G, stash, big, pc):
                 """Jacobi CG (elasticity.c:515-518), or AMG-preconditioned
-                CG at degree 1 (PCGAMG, elasticity.c:519-521). Whole solve
-                traced at full-f32 matmul precision: PCG needs SYMMETRIC
-                A and M, and bf16-noise applies are not symmetric (see
-                utils/precise.accurate_matmuls)."""
-                with accurate_matmuls():
-                    mask = big["mask"]
-                    (diag_inv,) = pc
-                    A = lambda v: jacobian_action_impl(v, stash, big)  # noqa: E731
-                    if use_amg_pc:
-                        M = lambda r: jnp.where(                       # noqa: E731
-                            mask, 0.0, self._amg_apply(r, big["amg"]))
-                    else:
-                        M = lambda r: diag_inv * r                     # noqa: E731
-                    res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol,
-                              maxiter=cfg.ksp_max_it)
-                    return res.x, res.iters
+                CG at degree 1 (PCGAMG, elasticity.c:519-521).
+
+                Precision scope (results/PC_PRECISION_AB.json): the OUTER
+                CG matvec runs at full-f32 matmul precision — it bounds the
+                attainable linear residual. The preconditioner only needs
+                to stay one fixed (near-)SPD operator, which the same
+                traced cycle at the fast bf16-default is; cfg.pc_precision
+                selects its precision."""
+                mask = big["mask"]
+                (diag_inv,) = pc
+
+                def raw_apply(v):
+                    v_in = jnp.where(mask, 0.0, v)
+                    return jnp.where(mask, 0.0,
+                                     self._raw_jacobian(v_in, big, stash))
+
+                def A(v):
+                    with accurate_matmuls():
+                        return raw_apply(v)
+
+                pc_ctx = (accurate_matmuls
+                          if cfg.pc_precision == "accurate" else nullcontext)
+                if use_amg_pc:
+                    def M(r):
+                        with pc_ctx():
+                            return jnp.where(mask, 0.0, self._amg_apply(
+                                r, big["amg"], top_mv=_flatwrap(raw_apply)))
+                else:
+                    M = lambda r: diag_inv * r                     # noqa: E731
+                # NOT wrapped in accurate_matmuls: A/M carry their own
+                # precision scopes (an active outer context would override
+                # the fast pc_precision inside M); pcg itself has no
+                # matmuls, its reductions are compensated dot2
+                res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol,
+                          maxiter=cfg.ksp_max_it)
+                return res.x, res.iters
 
             self._pc_setup_j = jax.jit(jacobi_setup)
             self._lin_solve_j = jax.jit(linear_solve_jacobi)
@@ -545,29 +593,55 @@ class ElasticityProblem:
                 return tuple(diag_invs), tuple(bounds)
 
         def linear_solve_mg(G, stash, big, pc):
-            """Whole p-MG-preconditioned CG at full-f32 matmul precision:
-            PCG requires SYMMETRIC A and M; bf16-default MXU noise breaks
-            the symmetry of every operator apply inside the V-cycle, which
-            corrupts the Krylov directions (measured: Newton ground
-            through 14-44 iterations per load increment on TPU vs 4-5 on
-            CPU f32 with true-f32 GEMMs — see accurate_matmuls)."""
-            with accurate_matmuls():
-                diag_invs, bounds = pc
-                mg_levels = build_mg_levels(stash, big)
-                coarse_apply = self._amg_apply if self._use_amg else None
-                vcycle = make_vcycle(mg_levels, smooth_its=cfg.smooth_its,
-                                     coarse_cheb_its=cfg.coarse_cheb_its,
-                                     coarse_apply=coarse_apply)
-                coarse_data = big.get("amg") if self._use_amg else None
-                A = lambda v: mg_levels[-1].apply(v, stash)   # noqa: E731
-                M = lambda r: vcycle(r, stash, list(diag_invs),   # noqa: E731
-                                     list(bounds), coarse_data)
-                res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol,
-                          maxiter=cfg.ksp_max_it)
-                return res.x, res.iters
+            """p-MG-preconditioned CG.
+
+            Precision scope (results/PC_PRECISION_AB.json): the OUTER CG
+            matvec runs at full-f32 matmul precision — bf16-default noise
+            there corrupts the Krylov directions and caps the attainable
+            residual (measured: Newton ground through 14-44 iterations per
+            load increment on TPU vs 4-5 on CPU f32, see
+            utils/precise.accurate_matmuls). The V-cycle interior
+            (smoothers, transfers, AMG coarse) only shapes the
+            preconditioner — cfg.pc_precision selects whether it runs at
+            the fast bf16 default (3-6x MXU throughput) or full f32."""
+            diag_invs, bounds = pc
+            mg_levels = build_mg_levels(stash, big)
+            if self._use_amg:
+                top_mv = _flatwrap(lambda v: mg_levels[0].apply(v, stash))
+                coarse_apply = lambda b0, cd: self._amg_apply(  # noqa: E731
+                    b0, cd, top_mv=top_mv)
+            else:
+                coarse_apply = None
+            vcycle = make_vcycle(mg_levels, smooth_its=cfg.smooth_its,
+                                 coarse_cheb_its=cfg.coarse_cheb_its,
+                                 coarse_apply=coarse_apply)
+            coarse_data = big.get("amg") if self._use_amg else None
+
+            def A(v):
+                with accurate_matmuls():
+                    return mg_levels[-1].apply(v, stash)
+
+            pc_ctx = (accurate_matmuls
+                      if cfg.pc_precision == "accurate" else nullcontext)
+
+            def M(r):
+                with pc_ctx():
+                    return vcycle(r, stash, list(diag_invs),
+                                  list(bounds), coarse_data)
+
+            # NOT wrapped in accurate_matmuls: A/M carry their own
+            # precision scopes (an active outer context would override the
+            # fast pc_precision inside M); pcg itself has no matmuls, its
+            # reductions are compensated dot2
+            res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol,
+                      maxiter=cfg.ksp_max_it)
+            return res.x, res.iters
 
         self._pc_setup_j = jax.jit(mg_setup)
         self._lin_solve_j = jax.jit(linear_solve_mg)
+        # profiling hook (scripts/profile_solve.py): per-piece attribution
+        # of the CG iteration without duplicating the closure wiring
+        self._build_mg_levels = build_mg_levels
 
     def _level_mask(self, space: FESpace) -> jnp.ndarray:
         """Constrained-DOF mask for a level's space (same BC face sets)."""
@@ -614,6 +688,9 @@ class ElasticityProblem:
 
         for inc in range(1, cfg.num_increments + 1):
             target = inc / cfg.num_increments
+            if cfg.stop_at_load is not None and \
+                    target > cfg.stop_at_load + 1e-12:
+                break
             # Adaptive sub-stepping: where the reference simply breaks the
             # continuation on divergence (elasticity.c:668-672), a failed
             # increment here retries from the last converged state with a

@@ -44,15 +44,31 @@ def ell_matvec(idx, vals, x):
 
 
 class AMGPreconditioner:
-    """Owns the native hierarchy handle + device ELL arrays."""
+    """Owns the native hierarchy handle + device ELL/dense arrays.
+
+    TPU-shaped cycle (VERDICT r3 #2): tiny sparse gathers are LATENCY-bound
+    on TPU, so the per-level matvec picks the fastest representation:
+
+      * level 0 with `top_mf=True`: the caller passes `top_matvec` to
+        `apply` — the existing matrix-free p=1 operator (MXU GEMM
+        pipeline). The assembled level-0 matrix is then never uploaded at
+        all (it IS the Galerkin matrix of that operator, ops/assembly.py),
+        which also removes the dominant d2h traffic from every refresh.
+      * levels with n <= dense_n: dense (n, n) matrix — an MXU matvec
+        beats an ELL gather by orders of magnitude at these sizes.
+      * remaining mid-size levels: padded ELL (the general fallback).
+    """
 
     def __init__(self, dtype, theta: float = 0.0, max_levels: int = 10,
-                 coarse_size: int = 600, smooth_its: int = 2):
+                 coarse_size: int = 600, smooth_its: int = 2,
+                 top_mf: bool = False, dense_n: int = 4096):
         self.dtype = dtype
         self.theta = theta
         self.max_levels = max_levels
         self.coarse_size = coarse_size
         self.smooth_its = smooth_its
+        self.top_mf = top_mf
+        self.dense_n = dense_n
         self.handle = None
         self._pattern = None
         self._struct = None       # host-side frozen structure + ELL maps
@@ -91,25 +107,46 @@ class AMGPreconditioner:
         else:
             self._extract(L)
 
+    def _level_rep(self, l: int, nlev: int, n: int) -> str:
+        """Representation of level l's operator: 'none' (coarsest — solved
+        by coarse_inv), 'mf' (level 0 applied matrix-free by the caller),
+        'dense' (small level on the MXU), or 'ell' (general fallback)."""
+        if l == nlev - 1:
+            return "none"
+        if l == 0 and self.top_mf:
+            return "mf"
+        if n <= self.dense_n:
+            return "dense"
+        return "ell"
+
     def _extract_values(self, L):
         """Values-only refresh (per-Newton-step hot path): the hierarchy
         STRUCTURE is frozen after the first setup (amg_refresh keeps
         aggregation/prolongator patterns), so only A values, diagonals,
         lambda_max, and the dense coarse inverse change. Index arrays stay
         on device untouched; each level's new values are one vectorized
-        gather through the cached CSR->ELL slot map."""
+        gather through the cached CSR->ELL slot map (or a dense fill)."""
         h = self.handle
         levels = self.data["levels"]
         for l, st in enumerate(self._struct):
-            vals, diag, lam, src, mask = (st["vals"], st["diag"], st["lam"],
-                                          st["src"], st["mask"])
+            vals, diag, lam = st["vals"], st["diag"], st["lam"]
             L.amg_get_matrix(h, l, st["rowptr"], st["colind"], vals, diag, lam)
             e = levels[l]
-            e["a_val"] = jnp.asarray(np.where(mask, vals[src], 0.0), self.dtype)
-            e["dinv"] = jnp.asarray(
-                np.where(diag != 0, 1.0 / np.where(diag == 0, 1, diag), 1.0),
-                self.dtype)
-            e["lam"] = jnp.asarray(float(lam[0]), self.dtype)
+            rep = st["rep"]
+            if rep == "ell":
+                src, mask = st["src"], st["mask"]
+                e["a_val"] = jnp.asarray(np.where(mask, vals[src], 0.0),
+                                         self.dtype)
+            elif rep == "dense":
+                e["a_dense"] = jnp.asarray(
+                    sp.csr_matrix((vals, st["colind"], st["rowptr"]),
+                                  shape=(st["n"], st["n"])).toarray(),
+                    self.dtype)
+            if rep != "none":
+                e["dinv"] = jnp.asarray(
+                    np.where(diag != 0, 1.0 / np.where(diag == 0, 1, diag),
+                             1.0), self.dtype)
+                e["lam"] = jnp.asarray(float(lam[0]), self.dtype)
         self.data["coarse_inv"] = self._coarse_inv(L)
 
     def _coarse_inv(self, L):
@@ -145,19 +182,25 @@ class AMGPreconditioner:
             diag = np.zeros(n, np.float64)
             lam = np.zeros(1, np.float64)
             L.amg_get_matrix(h, l, rowptr, colind, vals, diag, lam)
-            a_idx, a_val = _csr_to_ell(n, rowptr, colind, vals, self.dtype)
-            src, mask, _ = _ell_map(n, rowptr)
-            self._struct.append({"rowptr": rowptr, "colind": colind,
-                                 "vals": vals, "diag": diag, "lam": lam,
-                                 "src": src, "mask": mask})
-            entry = {
-                "n": n,
-                "a_idx": a_idx, "a_val": a_val,
-                "dinv": jnp.asarray(
-                    np.where(diag != 0, 1.0 / np.where(diag == 0, 1, diag), 1.0),
-                    self.dtype),
-                "lam": jnp.asarray(float(lam[0]), self.dtype),
-            }
+            rep = self._level_rep(l, nlev, n)
+            st = {"rowptr": rowptr, "colind": colind,
+                  "vals": vals, "diag": diag, "lam": lam, "n": n, "rep": rep}
+            entry = {}
+            if rep == "ell":
+                entry["a_idx"], entry["a_val"] = _csr_to_ell(
+                    n, rowptr, colind, vals, self.dtype)
+                st["src"], st["mask"], _ = _ell_map(n, rowptr)
+            elif rep == "dense":
+                entry["a_dense"] = jnp.asarray(
+                    sp.csr_matrix((vals, colind, rowptr),
+                                  shape=(n, n)).toarray(), self.dtype)
+            if rep != "none":
+                entry["dinv"] = jnp.asarray(
+                    np.where(diag != 0, 1.0 / np.where(diag == 0, 1, diag),
+                             1.0), self.dtype)
+                entry["lam"] = jnp.asarray(float(lam[0]), self.dtype)
+            self._struct.append(st)
+            entry["n"] = n
             if l < nlev - 1 and pnnz > 0:
                 prow = np.zeros(n + 1, np.int64)
                 pcol = np.zeros(pnnz, np.int32)
@@ -166,15 +209,23 @@ class AMGPreconditioner:
                 P = sp.csr_matrix(
                     (pval, pcol, prow), shape=(n, pcols)
                 )
-                entry["p_idx"], entry["p_val"] = _csr_to_ell(
-                    n, P.indptr.astype(np.int64), P.indices, P.data, self.dtype
-                )
-                PT = P.T.tocsr()
-                PT.sort_indices()
-                entry["pt_idx"], entry["pt_val"] = _csr_to_ell(
-                    pcols, PT.indptr.astype(np.int64), PT.indices, PT.data,
-                    self.dtype,
-                )
+                if n <= self.dense_n:
+                    # prolongator values are frozen across refreshes, so
+                    # dense transfers cost nothing after the first setup
+                    pd = P.toarray()
+                    entry["p_dense"] = jnp.asarray(pd, self.dtype)
+                    entry["pt_dense"] = jnp.asarray(pd.T.copy(), self.dtype)
+                else:
+                    entry["p_idx"], entry["p_val"] = _csr_to_ell(
+                        n, P.indptr.astype(np.int64), P.indices, P.data,
+                        self.dtype
+                    )
+                    PT = P.T.tocsr()
+                    PT.sort_indices()
+                    entry["pt_idx"], entry["pt_val"] = _csr_to_ell(
+                        pcols, PT.indptr.astype(np.int64), PT.indices, PT.data,
+                        self.dtype,
+                    )
             levels.append(entry)
         self._coarse_n = levels[-1]["n"]
         for e in levels:
@@ -182,13 +233,40 @@ class AMGPreconditioner:
         self.data = {"levels": levels, "coarse_inv": self._coarse_inv(L)}
 
     # -- device-side application (jit-traceable) -------------------------
-    def apply(self, r_flat, data):
-        """One V-cycle on a flat (3N,) node-major residual vector."""
+    def apply(self, r_flat, data, top_matvec=None):
+        """One V-cycle on a flat (3N,) node-major residual vector.
+
+        top_matvec: flat (3N,) -> (3N,) level-0 operator action; REQUIRED
+        when the hierarchy was built with top_mf=True (the caller supplies
+        the matrix-free p=1 apply, e.g. the p-MG level-0 operator closed
+        over the current Newton stash — bitwise the same Galerkin matrix
+        up to roundoff, at MXU GEMM speed instead of ELL gathers)."""
         sm = self.smooth_its
         levels = data["levels"]
         nlev = len(levels)
 
-        def smooth(lv, b, x):
+        def matvec(l, lv, x):
+            if "a_dense" in lv:
+                return lv["a_dense"] @ x
+            if "a_val" in lv:
+                return ell_matvec(lv["a_idx"], lv["a_val"], x)
+            if l == 0 and top_matvec is not None:
+                return top_matvec(x)
+            raise ValueError(
+                "AMG level 0 is matrix-free (top_mf=True) but no "
+                "top_matvec was passed to apply()")
+
+        def transfer_down(lv, r):
+            if "pt_dense" in lv:
+                return lv["pt_dense"] @ r
+            return ell_matvec(lv["pt_idx"], lv["pt_val"], r)
+
+        def transfer_up(lv, xc):
+            if "p_dense" in lv:
+                return lv["p_dense"] @ xc
+            return ell_matvec(lv["p_idx"], lv["p_val"], xc)
+
+        def smooth(l, lv, b, x=None):
             # Chebyshev on [0.1, 1.1]*lam of D^{-1}A (matching the p-MG
             # smoother bounds, elasticity.c:540)
             lam = lv["lam"]
@@ -197,11 +275,13 @@ class AMGPreconditioner:
             delta = 0.5 * (hi - lo)
             sigma1 = theta / delta
             rho = 1.0 / sigma1
-            r = b - ell_matvec(lv["a_idx"], lv["a_val"], x)
+            # x = None encodes a zero initial guess: r = b without paying
+            # a (possibly matrix-free) A @ 0 application
+            r = b if x is None else b - matvec(l, lv, x)
             d = (lv["dinv"] * r) / theta
-            x = x + d
+            x = d if x is None else x + d
             for _ in range(sm - 1):
-                r = b - ell_matvec(lv["a_idx"], lv["a_val"], x)
+                r = b - matvec(l, lv, x)
                 rho_new = 1.0 / (2.0 * sigma1 - rho)
                 d = rho_new * rho * d + (2.0 * rho_new / delta) * (lv["dinv"] * r)
                 rho = rho_new
@@ -213,12 +293,12 @@ class AMGPreconditioner:
         bs[0] = r_flat
         for l in range(nlev - 1):
             lv = levels[l]
-            xs[l] = smooth(lv, bs[l], jnp.zeros_like(bs[l]))
-            r = bs[l] - ell_matvec(lv["a_idx"], lv["a_val"], xs[l])
-            bs[l + 1] = ell_matvec(lv["pt_idx"], lv["pt_val"], r)
+            xs[l] = smooth(l, lv, bs[l])
+            r = bs[l] - matvec(l, lv, xs[l])
+            bs[l + 1] = transfer_down(lv, r)
         xs[nlev - 1] = data["coarse_inv"] @ bs[nlev - 1]
         for l in range(nlev - 2, -1, -1):
             lv = levels[l]
-            x = xs[l] + ell_matvec(lv["p_idx"], lv["p_val"], xs[l + 1])
-            xs[l] = smooth(lv, bs[l], x)
+            x = xs[l] + transfer_up(lv, xs[l + 1])
+            xs[l] = smooth(l, lv, bs[l], x)
         return xs[0]

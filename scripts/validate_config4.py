@@ -63,6 +63,10 @@ def run(name):
                  use_pallas=use_pallas)
     if not x64:
         cfg.newton.rtol = 1e-6
+    stop_load = os.environ.get("CPSTPU_STOP_LOAD")
+    if stop_load:
+        cfg.stop_at_load = float(stop_load)
+        name = f"{name}-l{cfg.stop_at_load:g}"
     if os.environ.get("CPSTPU_LS"):
         cfg.newton.linesearch = os.environ["CPSTPU_LS"]
     if os.environ.get("CPSTPU_NEWTON_MONITOR"):

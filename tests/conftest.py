@@ -21,3 +21,26 @@ import jax  # noqa: E402
 # the CPU backend (and with it the forced host device count).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+from pathlib import Path  # noqa: E402
+
+import pytest  # noqa: E402
+
+# File-level quick/slow split: `pytest -m quick` is the < 3-minute commit
+# gate; the slow files (8-device shard_map compiles, full MG solves) stay
+# in the full round gate. See pytest.ini for the marker registry.
+_SLOW_FILES = {
+    "test_slab.py",
+    "test_distributed.py",
+    "test_solve_mms.py",
+    "test_baselines.py",
+    "test_incomp.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = Path(str(item.fspath)).name
+        item.add_marker(
+            pytest.mark.slow if name in _SLOW_FILES else pytest.mark.quick
+        )
