@@ -10,11 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-DIAGNOSTIC_NAMES = [
-    "displacement", "pressure", "volumetric_strain", "trace_E2", "detJ",
-    "strain_energy_density",
-]
-
 
 def _subcells(conn: np.ndarray, P: int) -> np.ndarray:
     """Split each element's lattice into (P-1)^3 hex8 cells (VTK ordering)."""

@@ -81,7 +81,19 @@ def main():
     F = prob.F
     G = stash = None
 
+    def ensure_state():
+        nonlocal G, stash
+        if G is None:
+            G, stash = prob._nl_res_j(u, bc, F, prob._big)
+            jax.block_until_ready(G)
+
     for st in stages:
+        if st in ("jac_fine", "jac_l1", "jac_l0", "diag", "emats",
+                  "amg_setup", "amg_apply", "linsolve"):
+            ensure_state()
+        if st in ("amg_apply", "linsolve") and prob._use_amg and \
+                "amg" not in prob._big:
+            prob._refresh_amg(stash)
         if st == "setup":
             continue
         print(f"--- stage {st}", flush=True)
