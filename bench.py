@@ -245,6 +245,12 @@ def unstructured_solve_bench():
     cfg = Config(problem="hyperFS", degree=4, nu=0.3, E=1e6,
                  mesh_file="/root/reference/meshes/cylinder8_44928e_2ss_us.exo",
                  forcing="none", num_increments=2, ksp_rtol=1e-6,
+                 # bound the device time of ONE CG execution: an f32 solve
+                 # stagnating below rtol otherwise spins toward maxiter
+                 # inside a single XLA program, which the tunneled TPU
+                 # worker kills (the BENCH_r03 usolve crash; solve/cg.py
+                 # stall_its is the primary guard, this is the belt)
+                 ksp_max_it=1000,
                  bc_clamp=(998, 999),
                  bc_clamp_translate={998: (0.0, 0.0, 0.02)})
     cfg.newton.rtol = 1e-6

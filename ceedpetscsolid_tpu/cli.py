@@ -12,9 +12,17 @@ unknown options are reported (PETSc tolerates them silently; we warn).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
+
+# Honor JAX_PLATFORMS=cpu from the environment: the TPU plugin registers
+# itself from sitecustomize regardless of the env var, so an explicit
+# config update is the only reliable way to force the CPU backend (e.g.
+# for verification runs while the chip is busy).
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 
 def _parse_args(argv):

@@ -76,6 +76,7 @@ class CSRAssembler:
                                + np.arange(n, dtype=np.int64)])
         ukeys, inv = np.unique(keys, return_inverse=True)
         self._inv = inv[: rows.size]
+        self._inv_dev = None         # lazy device copy for assemble_values
         self._nnz = ukeys.size
         self._n = n
         urows = (ukeys // n).astype(np.int64)
@@ -97,10 +98,30 @@ class CSRAssembler:
             weights=np.asarray(elem_mats, dtype=np.float64).ravel(),
             minlength=self._nnz,
         )
+        return self._finish(data)
+
+    def _finish(self, data: np.ndarray) -> sp.csr_matrix:
         data = data * self._keep + self._bc_diag
         return sp.csr_matrix(
             (data, self.indices, self.indptr), shape=(self._n, self._n)
         )
+
+    def assemble_values(self, elem_mats) -> "jnp array (nnz,)":
+        """DEVICE-side slot reduction: elem_mats (nelem, 3P3, 3P3) device
+        array -> (nnz,) CSR value vector, still on device. Cuts the
+        per-refresh d2h from nelem*(3P3)^2 entries to nnz (~2x fewer),
+        which matters on tunneled chips (~29 MB/s effective d2h)."""
+        import jax.numpy as jnp
+        from jax.ops import segment_sum
+
+        if self._inv_dev is None:
+            self._inv_dev = jnp.asarray(self._inv.astype(np.int32))
+        return segment_sum(elem_mats.reshape(-1), self._inv_dev,
+                           num_segments=self._nnz)
+
+    def from_values(self, data_host: np.ndarray) -> sp.csr_matrix:
+        """Finish assembly from an `assemble_values` result copied to host."""
+        return self._finish(np.asarray(data_host, np.float64))
 
 
 def assemble_csr(elem_mats: np.ndarray, conn: np.ndarray, num_nodes: int,

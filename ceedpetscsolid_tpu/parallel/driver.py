@@ -589,11 +589,15 @@ class DistributedProblem:
             tol = jnp.sqrt(jnp.abs(rz)) * ksp_rtol
 
             def cond(s):
-                x, r, z, p, rz, it, ok = s
-                return ok & (jnp.sqrt(jnp.abs(rz)) > tol) & (it < ksp_max_it)
+                x, r, z, p, rz, it, ok, best, since = s
+                # stagnation guard (mirrors solve/cg.py stall_its): an f32
+                # solve whose tolerance sits below the attainable floor
+                # must not spin to ksp_max_it inside one device program
+                return (ok & (jnp.sqrt(jnp.abs(rz)) > tol)
+                        & (it < ksp_max_it) & (since < 60))
 
             def bodyf(s):
-                x, r, z, p, rz, it, ok = s
+                x, r, z, p, rz, it, ok, best, since = s
                 Ap = jac_apply(p)
                 pAp = dist.ddot(p, Ap)
                 good = pAp > 0        # KSP_DIVERGED_INDEFINITE_MAT analog
@@ -603,11 +607,17 @@ class DistributedProblem:
                 z = M(r)
                 rz2 = dist.ddot(r, z)
                 p = z + (rz2 / rz) * p
-                return (x, r, z, p, rz2, it + 1, good)
+                rn = jnp.sqrt(jnp.abs(rz2))
+                improved = rn < 0.999 * best
+                best = jnp.minimum(best, rn)
+                since = jnp.where(improved, 0, since + 1)
+                return (x, r, z, p, rz2, it + 1, good, best, since)
 
             z0 = z
-            x, r, z, p, rz, iters, _ok = jax.lax.while_loop(
-                cond, bodyf, (x, r, z, z, rz, jnp.int32(0), jnp.bool_(True))
+            x, r, z, p, rz, iters, _ok, _b, _s = jax.lax.while_loop(
+                cond, bodyf,
+                (x, r, z, z, rz, jnp.int32(0), jnp.bool_(True),
+                 jnp.sqrt(jnp.abs(rz)), jnp.int32(0))
             )
             # first-iteration indefinite bail -> preconditioned
             # steepest-descent fallback (see solve/cg.py)

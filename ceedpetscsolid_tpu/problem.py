@@ -444,6 +444,7 @@ class ElasticityProblem:
                                  self.pfactory.stash_view(stash[1]))
 
                 self._elem_mats0 = jax.jit(elem_mats_composite)
+                _elem_mats_impl = elem_mats_composite
             else:
                 def elem_mats_single(stash, big):
                     with accurate_matmuls():
@@ -451,11 +452,21 @@ class ElasticityProblem:
                             big["qdata"], self.factory.stash_view(stash))
 
                 self._elem_mats0 = jax.jit(elem_mats_single)
+                _elem_mats_impl = elem_mats_single
             space0 = self.spaces[0]
             self._assembler0 = CSRAssembler(
                 space0.conn, space0.num_nodes,
                 np.asarray(self._level_mask(space0)),
             )
+            def emvals_impl(stash, big, inv_dev):
+                # element matrices + CSR slot-reduction in ONE device
+                # program; only the (nnz,) value vector crosses d2h
+                em = _elem_mats_impl(stash, big)
+                return jax.ops.segment_sum(
+                    em.reshape(-1), inv_dev,
+                    num_segments=self._assembler0._nnz)
+
+            self._emvals0 = jax.jit(emvals_impl)
 
             def amg_apply(b, coarse_data, top_mv=None):
                 """(3, nn0) residual -> AMG V-cycle result (node-major flat
@@ -475,8 +486,12 @@ class ElasticityProblem:
                 return
             if self._amg.handle is not None and not self.model.nonlinear:
                 return          # linear problem: hierarchy never changes
-            em = np.asarray(self._elem_mats0(stash, self._big))
-            A = self._assembler0.assemble(em)
+            asm = self._assembler0
+            if asm._inv_dev is None:
+                import jax.numpy as _jnp
+                asm._inv_dev = _jnp.asarray(asm._inv.astype(np.int32))
+            vals = self._emvals0(stash, self._big, asm._inv_dev)
+            A = asm.from_values(np.asarray(vals))
             self._amg.setup(A)
             self._big["amg"] = self._amg.data
 

@@ -38,8 +38,19 @@ def pcg(
     rtol: float = 1e-10,
     atol: float = 1e-50,
     maxiter: int = 10_000,
+    stall_its: int = 60,
 ) -> CGResult:
-    """Solve A x = b with preconditioner M_inv (defaults to identity)."""
+    """Solve A x = b with preconditioner M_inv (defaults to identity).
+
+    stall_its: abandon the solve once the natural norm has not improved
+    for this many consecutive iterations — the f32 attainable-accuracy
+    stagnation guard. Without it a solve whose target tolerance sits
+    below the f32 noise floor spins to `maxiter` INSIDE one device
+    program; at ~0.3 s/iteration on the 8.9M-DoF cylinder that is a
+    multi-THOUSAND-second single XLA execution, which the tunneled TPU
+    worker kills ('TPU worker process crashed or restarted' — the
+    BENCH_r03 usolve crash, VERDICT r3 #1). PETSc's KSP reports
+    DIVERGED_DTOL/stagnation similarly rather than looping forever."""
     if M_inv is None:
         M_inv = lambda r: r  # noqa: E731
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -51,11 +62,12 @@ def pcg(
     tol = jnp.maximum(rtol * norm0, atol)
 
     def cond(state):
-        x, r, z, p, rz, it, ok = state
-        return ok & (jnp.sqrt(jnp.abs(rz)) > tol) & (it < maxiter)
+        x, r, z, p, rz, it, ok, best, since = state
+        return (ok & (jnp.sqrt(jnp.abs(rz)) > tol) & (it < maxiter)
+                & (since < stall_its))
 
     def body(state):
-        x, r, z, p, rz, it, ok = state
+        x, r, z, p, rz, it, ok, best, since = state
         Ap = A(p)
         pAp = _dot(p, Ap)
         # KSP_DIVERGED_INDEFINITE_MAT analog: a Newton linearization can be
@@ -69,11 +81,17 @@ def pcg(
         rz_new = _dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1, good)
+        rn = jnp.sqrt(jnp.abs(rz_new))
+        improved = rn < 0.999 * best
+        best = jnp.minimum(best, rn)
+        since = jnp.where(improved, 0, since + 1)
+        return (x, r, z, p, rz_new, it + 1, good, best, since)
 
     z0 = z
-    state = (x, r, z, r * 0 + z, rz, jnp.int32(0), jnp.bool_(True))
-    x, r, z, p, rz, it, ok = jax.lax.while_loop(cond, body, state)
+    state = (x, r, z, r * 0 + z, rz, jnp.int32(0), jnp.bool_(True),
+             norm0, jnp.int32(0))
+    x, r, z, p, rz, it, ok, best, since = jax.lax.while_loop(
+        cond, body, state)
     rnorm = jnp.sqrt(jnp.abs(rz))
     # Indefinite bail on the FIRST iteration returns x = 0 — a zero Newton
     # step that stalls the outer solve. Fall back to the preconditioned
