@@ -78,6 +78,17 @@ class LevelOps:
     quadrature points using the shared fine qdata (and, for nonlinear
     models, the fine residual's stashed gradu), via a P_level -> Q_fine
     basis (reference src/setuplibceed.c:756-757, 782, 829-839).
+
+    NATIVE-QUADRATURE alternative (TPU-first departure from the
+    reference): coarse PRECONDITIONER levels may instead integrate at
+    their own Gauss rule Q_l = degree_l + 1 — 15x fewer quadrature
+    points at p=1 under a p=4 fine level. The linearization state
+    (stashed gradu, a polynomial fully determined by its fine-Gauss
+    values) is re-interpolated EXACTLY onto the level rule
+    (`stash_interp`), so no extra state is carried. The V-cycle stays a
+    fixed linear operation; only the (rediscretized-per-level, like the
+    reference's) level operators change by a quadrature-consistency
+    term. nat_* fields are None on the fine level.
     """
 
     space: FESpace
@@ -87,6 +98,9 @@ class LevelOps:
     sgrad: tuple | None = None          # (Kg, KgT) single-GEMM gradient op
     lattice: bool = False   # box mesh: index-free component-major restriction
     spectral: SpectralLattice | None = None  # box mesh: global GEMM pipeline
+    nat_basis: Basis3D | None = None    # P_level -> Q_level (Gauss)
+    nat_sgrad: tuple | None = None      # gradient GEMM op at Q_level
+    stash_interp: jnp.ndarray | None = None  # (Q3_fine, Q3_level) exact
 
 
 class OperatorFactory:
@@ -165,10 +179,29 @@ class OperatorFactory:
                 sgrad = grad_gemm_matrices_cm(basis, col, self.dtype)
             else:
                 sgrad = grad_gemm_matrices(basis, col, self.dtype)
-            self.levels.append(LevelOps(
+            lvl = LevelOps(
                 space=s, restr=restr, basis=basis, srestr=srestr,
                 sgrad=sgrad, lattice=lattice, spectral=spectral,
-            ))
+            )
+            if s.degree != fine.degree and q1d is None:
+                # native-quadrature preconditioner machinery for coarse
+                # levels (not built for the reduced-integration pressure
+                # factory, whose Q is already minimal)
+                Qn = s.degree + 1 + qextra
+                nb = Basis3D.create(s.degree + 1, Qn, "gauss", self.dtype)
+                lvl.nat_basis = nb
+                if lattice:
+                    lvl.nat_sgrad = grad_gemm_matrices_cm(nb, col, self.dtype)
+                else:
+                    lvl.nat_sgrad = grad_gemm_matrices(nb, col, self.dtype)
+                from .quadrature import gauss
+                from .basis import lagrange_matrices, _kron3
+                fq = gauss(self.Q1d)[0]
+                lq = gauss(Qn)[0]
+                B1, _ = lagrange_matrices(fq, lq)      # (Qn, Q1d) exact
+                lvl.stash_interp = jnp.asarray(
+                    _kron3(B1, B1, B1).T, self.dtype)  # (Q3f, Q3n)
+            self.levels.append(lvl)
         self.fine = self.levels[-1]
         mesh = fine.mesh
         # coordinate (vertex) restriction: trilinear geometry basis 2 -> Q
@@ -183,6 +216,64 @@ class OperatorFactory:
         xe = self.coord_restr.gather(self.vertex_coords)       # (3, nelem, 8)
         dxdX = self.coord_basis.apply_grad(xe)                 # (3,3,e,Q3)
         return geometry.setup_geo(dxdX, self.coord_basis.qweights)
+
+    def compute_qdata_native(self, level: int) -> jnp.ndarray:
+        """(10, nelem, Q3_level) geometric factors at the level's OWN
+        Gauss rule (native-quadrature preconditioner levels)."""
+        nb = self.levels[level].nat_basis
+        cb = Basis3D.create(2, nb.Q, "gauss", self.dtype)
+        xe = self.coord_restr.gather(self.vertex_coords)
+        dxdX = cb.apply_grad(xe)
+        return geometry.setup_geo(dxdX, cb.qweights)
+
+    def stash_to_native(self, stash, level: int):
+        """Fine-quadrature stash (any structured-path layout) -> Mat3 of
+        (nelem, Q3_level) gradu planes via the EXACT fine-Gauss ->
+        level-Gauss interpolation (gradu components are per-direction
+        polynomials of degree <= p, determined by their p+1 Gauss values).
+        """
+        M = self.levels[level].stash_interp
+        sv = self.stash_view(stash)
+        if sv is None:
+            return None
+        return Mat3([p @ M for p in sv.m])
+
+    def make_jacobian_native(self, jacobian_planes: Callable, phys,
+                             level: int) -> Callable:
+        """(v, qdata_nat, stash_nat, srestr_level, nat_sgrad) -> J_l@v with
+        the level integrated at its own quadrature (see LevelOps)."""
+        lvl = self.levels[level]
+        nb = lvl.nat_basis
+        Q3 = nb.Q3
+        P3 = nb.P3
+        nelem = self.nelem
+        if lvl.lattice:
+            def japply_cm(v, qdata, stash, sr, sk):
+                Kg3, Kg3T = sk
+                ue = sr.gather(v)
+                due = (ue.reshape(3 * nelem, P3) @ Kg3).reshape(
+                    3, nelem, 3 * Q3)
+                ddu = Mat3([due[c, :, d * Q3:(d + 1) * Q3]
+                            for c in range(3) for d in range(3)])
+                ddv = jacobian_planes(ddu, qdata, stash, phys)
+                dv3 = jnp.stack(
+                    [jnp.concatenate(ddv.m[3 * c:3 * c + 3], axis=1)
+                     for c in range(3)])
+                ve = (dv3.reshape(3 * nelem, 3 * Q3) @ Kg3T).reshape(
+                    3, nelem, P3)
+                return sr.scatter_add(ve)
+
+            return japply_cm
+
+        def japply(v, qdata, stash, sr, sk):
+            Kg, KgT = sk
+            due = sr.gather_rows(v.T) @ Kg
+            ddu = Mat3([due[:, k * Q3:(k + 1) * Q3] for k in range(9)])
+            ddv = jacobian_planes(ddu, qdata, stash, phys)
+            ve = jnp.concatenate(ddv.m, axis=1) @ KgT
+            return sr.scatter_rows(ve).T
+
+        return japply
 
     def quad_coords(self) -> jnp.ndarray:
         """(3, nelem, Q3) physical coordinates of quadrature points."""
@@ -477,15 +568,19 @@ class OperatorFactory:
         return 1.0 / mult
 
     # ------------------------------------------------------------------
-    def make_diagonal(self, jacobian_qf: Callable, phys, level: int = -1) -> Callable:
+    def make_diagonal(self, jacobian_qf: Callable, phys, level: int = -1,
+                      native: bool = False) -> Callable:
         """Assembled operator diagonal at `level` (E1d).
 
         CeedOperatorLinearAssembleDiagonal analog (src/matops.c:206-244):
         diag[c,e,p] = sum_q sum_{d1,d2} Bg[d1,q,p] K[c,d1,c,d2] Bg[d2,q,p]
         where K is the pointwise Jacobian tensor. K's (c, :, c, :) slices are
         extracted with 9 unit-gradient applications of the qfunction.
+        native=True builds it for the level's own quadrature (qdata/stash
+        arguments must then be the nat_* arrays).
         """
-        basis = self.levels[level].basis
+        basis = (self.levels[level].nat_basis if native
+                 else self.levels[level].basis)
         # BB[q, p, d1, d2] = Bg[d1, q, p] * Bg[d2, q, p]
         BB = jnp.einsum("aqp,bqp->qpab", basis.grad, basis.grad)
 

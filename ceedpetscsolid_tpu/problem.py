@@ -28,7 +28,7 @@ from .solve.amg import AMGPreconditioner
 from .solve.cg import estimate_extreme_eigs, pcg
 from .solve.newton import NewtonOptions, NewtonResult, newton_solve
 from .solve.pmg import MGLevel, make_vcycle
-from .utils.precise import accurate_matmuls
+from .utils.precise import accurate_matmuls, dot2, norm2
 from .utils.timing import GLOBAL_LOG
 
 
@@ -54,6 +54,15 @@ class Config:
     multigrid: str = "logarithmic"              # logarithmic | uniform | none
     nu_smoother: float = 0.0
     test_mode: bool = False
+    # Preconditioner-level quadrature: "native" integrates each coarse
+    # p-MG level at its own Gauss rule Q_l = degree_l + 1 (15x fewer
+    # qpoints at p=1 under a p=4 fine level; the stashed gradu is
+    # re-interpolated EXACTLY onto the level rule); "fine" shares the
+    # fine level's quadrature/qdata/stash like the reference
+    # (src/setuplibceed.c:756-757). The fine operator (CG matvec +
+    # residual) is identical either way — this only changes the
+    # preconditioner's level operators.
+    level_quadrature: str = "native"
     # units (cloptions.c:237-282)
     units_meter: float = 1.0
     units_second: float = 1.0
@@ -286,6 +295,50 @@ class ElasticityProblem:
             self._raw_residual = _raw_residual
             self._raw_jacobian = _raw_jacobian
 
+        # --- native-quadrature preconditioner levels ----------------------
+        # (Config.level_quadrature == "native"; see ops/operator.LevelOps)
+        nlev = len(self.spaces)
+        self._use_native_levels = (
+            config.level_quadrature == "native" and nlev > 1
+        )
+        if self._use_native_levels:
+            jp = self.model.jacobian_planes
+            self._jac_nat = [
+                self.factory.make_jacobian_native(jp, self.phys, level=l)
+                for l in range(nlev - 1)
+            ]
+            with accurate_matmuls():
+                self._qdata_nat = tuple(
+                    self.factory.compute_qdata_native(l)
+                    for l in range(nlev - 1)
+                )
+            self._nat_sgrads = tuple(
+                self.factory.levels[l].nat_sgrad for l in range(nlev - 1)
+            )
+
+            def raw_jacobian_native(v, big, stash, stash_nat, level):
+                """Level apply at the level's own quadrature. stash_nat is
+                the pre-interpolated gradu (computed once per solve trace,
+                so the while-loop body carries it as an invariant)."""
+                jv = self._jac_nat[level](
+                    v, big["qdata_nat"][level], stash_nat,
+                    big["srestrs"][level], big["nat_sgrads"][level])
+                if self.composite:
+                    # reduced-integration pressure term is already at its
+                    # minimal quadrature; reuse the existing level path
+                    jv = jv + jac_p[level](
+                        v, big["qdata_p_s"], stash[1],
+                        big["srestrs"][level], big["sgrads_p"][level])
+                return jv
+
+            self._raw_jacobian_native = raw_jacobian_native
+
+            def stash_nat_for(stash, level):
+                sm = stash[0] if self.composite else stash
+                return self.factory.stash_to_native(sm, level)
+
+            self._stash_nat_for = stash_nat_for
+
         energy_fn = self.factory.make_energy(self.model.energy_qf, self.phys)
 
         def energy_impl(u, big):
@@ -313,6 +366,9 @@ class ElasticityProblem:
             self._big["sgrads_p"] = tuple(
                 l.sgrad for l in self.pfactory.levels
             )
+        if self._use_native_levels:
+            self._big["qdata_nat"] = self._qdata_nat
+            self._big["nat_sgrads"] = self._nat_sgrads
         self.setup_time = time.perf_counter() - t0
         self._setup_stage.__exit__(None, None, None)
         with GLOBAL_LOG.stage("SNES Setup"):
@@ -391,14 +447,55 @@ class ElasticityProblem:
         self._jac_act_j = jax.jit(jacobian_action_impl)
         self._big["mask"] = self.bc_mask
 
+        def fused_ls_impl(u, G, d, bc_vals, F, big):
+            """CP line search (1 secant step, matching newton._line_search
+            and the distributed driver) + domain-error backtracking + the
+            next residual + policy norms, fused into ONE device program:
+            cuts ~6 host round trips per Newton iteration (~25 ms each on
+            the tunneled chip) down to 1."""
+            g0 = dot2(G, d)
+            G1, _ = nonlinear_residual_impl(u + d, bc_vals, F, big)
+            g1 = dot2(G1, d)
+            lam_raw = g0 / (g0 - g1)
+            ok = (jnp.isfinite(lam_raw) & (lam_raw > 1e-8)
+                  & (lam_raw < 1e2))
+            lam = jnp.where(ok, lam_raw, jnp.ones_like(lam_raw))
+            G2, stash2 = nonlinear_residual_impl(u + lam * d, bc_vals, F,
+                                                 big)
+            rn = norm2(G2)
+
+            def bt_cond(s):
+                lam_, G_, st_, rn_, t = s
+                return (~jnp.isfinite(rn_)) & (t < 12)
+
+            def bt_body(s):
+                lam_, G_, st_, rn_, t = s
+                lam2 = lam_ * 0.5
+                G3, st3 = nonlinear_residual_impl(u + lam2 * d, bc_vals, F,
+                                                  big)
+                return (lam2, G3, st3, norm2(G3), t + 1)
+
+            lam, G2, stash2, rn, _ = jax.lax.while_loop(
+                bt_cond, bt_body, (lam, G2, stash2, rn, jnp.int32(0)))
+            u_new = u + lam * d
+            scalars = jnp.stack([rn, norm2(lam * d), norm2(u_new),
+                                 lam.astype(rn.dtype)])
+            return u_new, G2, stash2, scalars
+
+        self._ls_j = jax.jit(fused_ls_impl)
+
         # Smoother physics for diagonal assembly (-nu_smoother swap,
         # matops.c:215-232)
         diag_phys = self.phys_smoother or self.phys
         nlev = len(self.spaces)
 
+        def _nat_level(l):
+            ln = l % nlev
+            return self._use_native_levels and ln < nlev - 1
+
         diag_mu = [
             self.factory.make_diagonal(self.model.jacobian_qf, diag_phys,
-                                       level=l)
+                                       level=l, native=_nat_level(l))
             for l in range(nlev)
         ]
         if self.composite:
@@ -411,10 +508,18 @@ class ElasticityProblem:
 
         def level_diag(l, stash, big):
             sv = self.factory.stash_view
-            if not self.composite:
-                return diag_mu[l](big["qdata"], sv(stash), big["restrs"][l])
-            return diag_mu[l](big["qdata"], sv(stash[0]), big["restrs"][l]) +                 diag_p[l](big["qdata_p"], self.pfactory.stash_view(stash[1]),
-                          big["restrs"][l])
+            s_mu = stash[0] if self.composite else stash
+            if _nat_level(l):
+                qd, st = (big["qdata_nat"][l % nlev],
+                          self._stash_nat_for(stash, l % nlev))
+            else:
+                qd, st = big["qdata"], sv(s_mu)
+            d = diag_mu[l](qd, st, big["restrs"][l])
+            if self.composite:
+                d = d + diag_p[l](big["qdata_p"],
+                                  self.pfactory.stash_view(stash[1]),
+                                  big["restrs"][l])
+            return d
 
         # --- AMG coarse machinery (E3e/E3f): assembled p=1 + native SA ---
         self._use_amg = (
@@ -425,10 +530,21 @@ class ElasticityProblem:
             # operator (MXU GEMMs) instead of latency-bound ELL gathers;
             # the assembled level-0 matrix never leaves the host
             self._amg = AMGPreconditioner(self.dtype, top_mf=True)
+            nat0 = _nat_level(0)
             em_mu = make_element_matrices(
                 self.model.jacobian_qf, self.phys,
-                self.factory.levels[0].basis, self.dtype,
+                (self.factory.levels[0].nat_basis if nat0
+                 else self.factory.levels[0].basis), self.dtype,
             )
+
+            def _mu_qdata_stash(stash, big):
+                """p=1 element-matrix inputs — at the native level-0
+                quadrature when enabled (8 qpts/elem instead of Q_fine^3)."""
+                if nat0:
+                    return big["qdata_nat"][0], self._stash_nat_for(stash, 0)
+                s_mu = stash[0] if self.composite else stash
+                return big["qdata"], self.factory.stash_view(s_mu)
+
             if self.composite:
                 em_p = make_element_matrices(
                     self.model.pressure_jacobian_qf, self.phys,
@@ -438,18 +554,18 @@ class ElasticityProblem:
                     # full precision: an asymmetric (bf16-noise) coarse
                     # matrix makes the AMG V-cycle a non-SPD M for CG
                     with accurate_matmuls():
-                        return em_mu(
-                            big["qdata"], self.factory.stash_view(stash[0])
-                        ) + em_p(big["qdata_p"],
-                                 self.pfactory.stash_view(stash[1]))
+                        qd, st = _mu_qdata_stash(stash, big)
+                        return em_mu(qd, st) + em_p(
+                            big["qdata_p"],
+                            self.pfactory.stash_view(stash[1]))
 
                 self._elem_mats0 = jax.jit(elem_mats_composite)
                 _elem_mats_impl = elem_mats_composite
             else:
                 def elem_mats_single(stash, big):
                     with accurate_matmuls():
-                        return em_mu(
-                            big["qdata"], self.factory.stash_view(stash))
+                        qd, st = _mu_qdata_stash(stash, big)
+                        return em_mu(qd, st)
 
                 self._elem_mats0 = jax.jit(elem_mats_single)
                 _elem_mats_impl = elem_mats_single
@@ -564,13 +680,26 @@ class ElasticityProblem:
 
         def build_mg_levels(stash, big):
             mg_levels = []
+            # native-level stashes interpolated ONCE per trace: every
+            # smoother apply inside the CG while-loop then carries them as
+            # loop invariants instead of re-interpolating per iteration
+            stash_nats = [
+                self._stash_nat_for(stash, l) if _nat_level(l) else None
+                for l in range(nlev - 1)
+            ]
             for l in range(nlev):
                 lm = big["level_masks"][l]
 
-                def lvl_apply(v, stash_, l=l, lm=lm):
-                    v = jnp.where(lm, 0.0, v)
-                    jv = self._raw_jacobian(v, big, stash_, level=l)
-                    return jnp.where(lm, 0.0, jv)
+                if _nat_level(l):
+                    def lvl_apply(v, stash_, l=l, lm=lm, sn=stash_nats[l]):
+                        v = jnp.where(lm, 0.0, v)
+                        jv = self._raw_jacobian_native(v, big, stash_, sn, l)
+                        return jnp.where(lm, 0.0, jv)
+                else:
+                    def lvl_apply(v, stash_, l=l, lm=lm):
+                        v = jnp.where(lm, 0.0, v)
+                        jv = self._raw_jacobian(v, big, stash_, level=l)
+                        return jnp.where(lm, 0.0, jv)
 
                 if l == 0:
                     prolong = restrict = None
@@ -698,8 +827,11 @@ class ElasticityProblem:
                 nstep[0] += 1
                 return self._linear_solve(G, stash, refresh=refresh)
 
+            def fused_ls(uu, G, d):
+                return self._ls_j(uu, G, d, bc_vals, F, self._big)
+
             return newton_solve(residual, linear_solve, u0, cfg.newton,
-                                floor_atol=floor_atol)
+                                floor_atol=floor_atol, fused_ls=fused_ls)
 
         for inc in range(1, cfg.num_increments + 1):
             target = inc / cfg.num_increments

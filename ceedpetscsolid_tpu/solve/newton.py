@@ -161,8 +161,19 @@ def newton_solve(
     u0: jnp.ndarray,
     opts: NewtonOptions,
     floor_atol: float = 0.0,
+    fused_ls: Callable | None = None,
 ) -> NewtonResult:
-    """Newton iteration. `residual` must already include forcing and BCs."""
+    """Newton iteration. `residual` must already include forcing and BCs.
+
+    fused_ls (optional): (u, G, d) -> (u_new, G_new, stash_new,
+    scalars (4,) = [rnorm_new, step_norm, unorm, lam]) — the CP line
+    search + domain backtracking + next residual + policy norms as ONE
+    jitted computation. On tunneled TPU chips each host round trip costs
+    ~25 ms; the unfused path pays ~6 of them per Newton iteration, the
+    fused path 1 (plus the linear solve). Only used with the default
+    'cp' line search at ls_max_it == 1 (its semantics match the inline
+    secant + halving loop below — the same logic the distributed driver
+    runs in-jit, parallel/driver.py)."""
     u = u0
     G, stash = residual(u)
     rnorm0 = float(_norm(G))
@@ -177,6 +188,8 @@ def newton_solve(
         # NaN stash) so the load loop can sub-step
         return NewtonResult(u, 0, 0, rnorm0, False, "diverged")
 
+    use_fused = (fused_ls is not None and opts.linesearch == "cp"
+                 and opts.ls_max_it == 1)
     reason = "max_it"
     converged = False
     it = 0
@@ -185,27 +198,34 @@ def newton_solve(
         d, ksp_its = linear_solve(u, G, stash)
         lin_total += int(ksp_its)
 
-        lam = _line_search(residual, u, G, d, opts)
-        u_new = u + lam * d
-        G, stash = residual(u_new)
-        rnorm_new = float(_norm(G))
-        # Domain-error backtracking: a (possibly secant-extrapolated) step
-        # that takes hyperFS outside J > 0 produces a non-finite residual;
-        # halve toward the current (finite) iterate instead of reporting
-        # divergence (SNES line-search domain retry semantics).
-        for _ in range(12):
-            if np.isfinite(rnorm_new):
-                break
-            lam *= 0.5
+        if use_fused:
+            u, G, stash, scalars = fused_ls(u, G, d)
+            rnorm_new, step, unorm, _lam = (float(x)
+                                            for x in np.asarray(scalars))
+        else:
+            lam = _line_search(residual, u, G, d, opts)
             u_new = u + lam * d
             G, stash = residual(u_new)
             rnorm_new = float(_norm(G))
-        u = u_new
+            # Domain-error backtracking: a (possibly secant-extrapolated)
+            # step that takes hyperFS outside J > 0 produces a non-finite
+            # residual; halve toward the current (finite) iterate instead
+            # of reporting divergence (SNES line-search domain retry
+            # semantics).
+            for _ in range(12):
+                if np.isfinite(rnorm_new):
+                    break
+                lam *= 0.5
+                u_new = u + lam * d
+                G, stash = residual(u_new)
+                rnorm_new = float(_norm(G))
+            u = u_new
+            step = float(_norm(lam * d))
+            unorm = float(_norm(u))
         if opts.monitor is not None:
             opts.monitor(it, rnorm_new)
         rnorm = rnorm_new
-        verdict = policy.check(rnorm, step=float(_norm(lam * d)),
-                               unorm=float(_norm(u)))
+        verdict = policy.check(rnorm, step=step, unorm=unorm)
         if verdict is not None:
             converged, reason = verdict
             break

@@ -109,10 +109,11 @@ def main():
         out["box_weak"].append(rec)
         print(json.dumps(rec), flush=True)
 
-    # halo model check: per-shard halo should be ~constant across the series
-    h = [r["halo_max_slots"] for r in out["box_weak"]]
-    out["box_halo_constant"] = bool(max(h[1:], default=h[0])
-                                    <= 1.05 * max(h[0], 1))
+    # halo model check: per-shard halo should be ~constant across the
+    # multi-device series (ndev=1 has no interfaces and is excluded)
+    h = [r["halo_max_slots"] for r in out["box_weak"] if r["ndev"] > 1]
+    out["box_halo_constant"] = bool(
+        not h or max(h) <= 1.05 * min(h))
 
     # --- cylinder weak pair: ~matched elements/shard ----------------------
     cyl = [("cylinder8_672e_2ss_us.exo", 1)]
