@@ -589,15 +589,15 @@ class DistributedProblem:
             tol = jnp.sqrt(jnp.abs(rz)) * ksp_rtol
 
             def cond(s):
-                x, r, z, p, rz, it, ok, best, since = s
-                # stagnation guard (mirrors solve/cg.py stall_its): an f32
+                x, r, z, p, rz, it, ok, anchor, since = s
+                # windowed stagnation guard (mirrors solve/cg.py): an f32
                 # solve whose tolerance sits below the attainable floor
                 # must not spin to ksp_max_it inside one device program
                 return (ok & (jnp.sqrt(jnp.abs(rz)) > tol)
                         & (it < ksp_max_it) & (since < 60))
 
             def bodyf(s):
-                x, r, z, p, rz, it, ok, best, since = s
+                x, r, z, p, rz, it, ok, anchor, since = s
                 Ap = jac_apply(p)
                 pAp = dist.ddot(p, Ap)
                 good = pAp > 0        # KSP_DIVERGED_INDEFINITE_MAT analog
@@ -608,10 +608,10 @@ class DistributedProblem:
                 rz2 = dist.ddot(r, z)
                 p = z + (rz2 / rz) * p
                 rn = jnp.sqrt(jnp.abs(rz2))
-                improved = rn < 0.999 * best
-                best = jnp.minimum(best, rn)
+                improved = rn < 0.95 * anchor
+                anchor = jnp.where(improved, rn, anchor)
                 since = jnp.where(improved, 0, since + 1)
-                return (x, r, z, p, rz2, it + 1, good, best, since)
+                return (x, r, z, p, rz2, it + 1, good, anchor, since)
 
             z0 = z
             x, r, z, p, rz, iters, _ok, _b, _s = jax.lax.while_loop(

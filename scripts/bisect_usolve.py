@@ -65,10 +65,15 @@ def main():
     cfg = Config(problem="hyperFS", degree=4, nu=0.3, E=1e6,
                  mesh_file=MESH, forcing="none", num_increments=2,
                  ksp_rtol=1e-6, multigrid=mg, coarse_solve=coarse,
+                 # hard bound on the device time of one CG execution (the
+                 # tunneled worker kills very long single XLA programs)
+                 ksp_max_it=int(os.environ.get("CPSTPU_BISECT_MAXIT", 400)),
                  bc_clamp=(998, 999),
                  bc_clamp_translate={998: (0.0, 0.0, 0.02)},
                  use_pallas=use_pallas)
     cfg.newton.rtol = 1e-6
+    cfg.newton.monitor = lambda it, rn: print(
+        f"      newton {it:3d}: rnorm {rn:.4e}", flush=True)
     prob = ElasticityProblem(cfg)
     print(f"setup done in {time.perf_counter()-t0:.1f}s  "
           f"nelem={prob.factory.nelem} nnodes={prob.fine_space.num_nodes} "
