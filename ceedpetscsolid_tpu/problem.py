@@ -799,20 +799,28 @@ class ElasticityProblem:
         return jnp.asarray(bcs.mask().T)             # (3, nnodes)
 
     # ------------------------------------------------------------------
-    def solve(self, monitor=None) -> "SolveInfo":
-        """Load-increment continuation loop (elasticity.c:636-673)."""
-        with GLOBAL_LOG.stage("SNES Solve"):
-            return self._solve_impl(monitor)
+    def solve(self, monitor=None, u0=None, start_load: float = 0.0,
+              floor_atol0: float = 0.0) -> "SolveInfo":
+        """Load-increment continuation loop (elasticity.c:636-673).
 
-    def _solve_impl(self, monitor=None) -> "SolveInfo":
+        u0/start_load/floor_atol0 resume the continuation from a
+        checkpointed state (a capability the reference lacks, SURVEY §5;
+        used by the bench to survive tunneled-TPU worker restarts)."""
+        with GLOBAL_LOG.stage("SNES Solve"):
+            return self._solve_impl(monitor, u0=u0, start_load=start_load,
+                                    floor_atol0=floor_atol0)
+
+    def _solve_impl(self, monitor=None, u0=None, start_load: float = 0.0,
+                    floor_atol0: float = 0.0) -> "SolveInfo":
         cfg = self.config
-        u = jnp.zeros((3, self.fine_space.num_nodes), self.dtype)
+        u = (jnp.zeros((3, self.fine_space.num_nodes), self.dtype)
+             if u0 is None else jnp.asarray(u0, self.dtype))
         total_snes = total_ksp = 0
         rnorm = 0.0
         t0 = time.perf_counter()
         last = None
-        load_done = 0.0
-        floor_atol = 0.0
+        load_done = float(start_load)
+        floor_atol = float(floor_atol0)
 
         def run_newton(load, u0):
             bc_vals = self.bc_values(load)

@@ -37,6 +37,7 @@ VARIANTS = {
     "cpu32-deg2": ("cpu", False, 2, None),
     "cpu64-deg3": ("cpu", True, 3, None),
     "cpu64-deg4": ("cpu", True, 4, None),
+    "cpu32-deg4": ("cpu", False, 4, None),
     "tpu32-deg2": ("tpu", False, 2, None),
     "tpu32-deg4": ("tpu", False, 4, None),
     "tpu32-deg4-row": ("tpu", False, 4, False),
@@ -67,6 +68,8 @@ def run(name):
     if stop_load:
         cfg.stop_at_load = float(stop_load)
         name = f"{name}-l{cfg.stop_at_load:g}"
+    if ninc != 10:
+        name = f"{name}-i{ninc}"
     if os.environ.get("CPSTPU_LS"):
         cfg.newton.linesearch = os.environ["CPSTPU_LS"]
     if os.environ.get("CPSTPU_NEWTON_MONITOR"):
@@ -81,9 +84,15 @@ def run(name):
         rec = {"inc": inc, "load": round(load, 3),
                "snes": res.iters, "ksp": res.linear_iters,
                "rnorm": float(res.rnorm), "reason": res.reason}
+        if res.converged:
+            # per-increment energy: diagnoses WHERE a trajectory leaves
+            # the f64 branch (the l0.2 deg-4 discrepancy, round 4)
+            ub = prob.insert_bc(res.u, prob.bc_values(load))
+            rec["energy"] = prob.strain_energy(ub)
         incs.append(rec)
         print(f"  inc {inc:2d} load {load:.2f}: {res.iters} SNES "
-              f"{res.linear_iters} KSP rnorm {res.rnorm:.3e} [{res.reason}]",
+              f"{res.linear_iters} KSP rnorm {res.rnorm:.3e} [{res.reason}]"
+              f" E={rec.get('energy', float('nan')):.6g}",
               flush=True)
 
     info = prob.solve(monitor=monitor)
@@ -107,6 +116,11 @@ def run(name):
     }
     print(json.dumps({k: v for k, v in rec.items() if k != "increments"},
                      indent=1), flush=True)
+    if os.environ.get("CPSTPU_SAVE_U"):
+        import numpy as np
+        snap = OUT.parent / "config4_states"
+        snap.mkdir(exist_ok=True)
+        np.save(snap / f"{name}.npy", np.asarray(info.u, np.float64))
     OUT.parent.mkdir(exist_ok=True)
     data = json.loads(OUT.read_text()) if OUT.exists() else {}
     data[name] = rec
