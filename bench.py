@@ -276,7 +276,7 @@ def unstructured_solve_bench():
             break
         try:
             r = subprocess.run(
-                [sys.executable, str(script), str(ck), "2"],
+                [sys.executable, str(script), str(ck), "4"],
                 capture_output=True, text=True,
                 timeout=max(60, min(2700, deadline - time.monotonic())),
             )

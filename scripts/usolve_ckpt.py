@@ -31,13 +31,15 @@ def main():
 
     from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
 
+    up = os.environ.get("CPSTPU_USOLVE_PALLAS")
     cfg = Config(problem="hyperFS", degree=4, nu=0.3, E=1e6,
                  mesh_file="/root/reference/meshes/"
                            "cylinder8_44928e_2ss_us.exo",
                  forcing="none", num_increments=ninc, ksp_rtol=1e-6,
                  ksp_max_it=1000,
                  bc_clamp=(998, 999),
-                 bc_clamp_translate={998: (0.0, 0.0, 0.02)})
+                 bc_clamp_translate={998: (0.0, 0.0, 0.02)},
+                 use_pallas=None if up is None else bool(int(up)))
     cfg.newton.rtol = 1e-6
     prob = ElasticityProblem(cfg)
 
