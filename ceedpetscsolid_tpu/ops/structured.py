@@ -238,9 +238,12 @@ class StructuredRestriction:
         self.edge_perms = edge_perms        # tuple of tuples (static)
         self.face_perms = face_perms
         s_e, s_f = p - 1, (p - 1) ** 2
-        # unified row width, padded to 32 lanes (128 B): row-gathers of
-        # 32-wide f32 rows run ~6x faster than odd widths on TPU
-        # (measured 42.6 vs 6 GB/s effective, scripts/try_pallas_gather)
+        # unified row width, padded to 32 lanes (128 B). A standalone
+        # probe (scripts/try_pallas_gather) gathers 32-wide rows at
+        # 42.6 GB/s vs ~6 GB/s for this table; in production the padding
+        # measured neutral (results/RESTRICTION_PROFILE.json) — the
+        # probe/production gap is NOT row width alone and remains the
+        # open lead on SURVEY hard-part #1.
         w = max(3, s_e * 3, s_f * 3)
         self.W = -(-w // 32) * 32 if w > 8 else 8
         self.P3 = (p + 1) ** 3
