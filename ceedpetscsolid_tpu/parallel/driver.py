@@ -326,17 +326,27 @@ class DistributedProblem:
             ssp, ssp_p = slab.sp, slab.sp_p
             sNP, sNyNx = slab.NP, slab.NyNx
 
+            s_ndev = self.ndev
+
             def slab_unpack(slabd, smats2):
                 qdl = slabd["qd"][0]
                 qdpl = slabd["qdp"][0] if composite else None
                 isf = slabd["isf"][0, 0]
+                toff = slabd["toff"][0, 0]
                 smats, smats_p = smats2
-                return qdl, qdpl, isf, smats, smats_p
+                return qdl, qdpl, isf, toff, smats, smats_p
 
+            # round-4 halo: the slab interface is ONE node plane, so the
+            # general all_to_all ghost machinery is replaced by a neighbor
+            # ppermute of that plane (slab_mod.halo_fwd/halo_adj) — ~7 ms
+            # of the 12 ms ndev=1 SPMD overhead was the g2l assembly and
+            # adjoint shuffle (results/DIST1_PROFILE.json); ndev == 1 is a
+            # statically comm-free specialization.
             def slab_residual(u_in, sa_, slabd, smats2):
-                qdl, qdpl, isf, smats, smats_p = slab_unpack(slabd, smats2)
-                local = dist.g2l(u_in, sa_)
-                ll = slab_mod.lattice_from_local(local, sa_, isf, sNP, sNyNx)
+                qdl, qdpl, isf, toff, smats, smats_p = slab_unpack(
+                    slabd, smats2)
+                ll = slab_mod.halo_fwd(dist._blk(u_in), isf, toff, s_ndev,
+                                       dist.AXIS, sNP, sNyNx)
                 du = ssp.grad(ll, smats)
                 dv, stash = model.residual_planes(du, qdl, phys)
                 v = ssp.grad_T(dv, smats)
@@ -346,14 +356,15 @@ class DistributedProblem:
                         dup, qdpl, phys)
                     v = v + ssp_p.grad_T(dvp, smats_p)
                     stash = (stash, stash_p)
-                lout = slab_mod.local_to_lattice_adjoint(
-                    v, sa_, isf, sNP, sNyNx)
-                return dist.l2g_add(lout, sa_), stash
+                out = slab_mod.halo_adj(v, isf, toff, s_ndev, dist.AXIS,
+                                        sNP, sNyNx, sa_.n_owned_max)
+                return out[None], stash
 
             def slab_jacobian(v_in, sa_, stash, slabd, smats2):
-                qdl, qdpl, isf, smats, smats_p = slab_unpack(slabd, smats2)
-                local = dist.g2l(v_in, sa_)
-                ll = slab_mod.lattice_from_local(local, sa_, isf, sNP, sNyNx)
+                qdl, qdpl, isf, toff, smats, smats_p = slab_unpack(
+                    slabd, smats2)
+                ll = slab_mod.halo_fwd(dist._blk(v_in), isf, toff, s_ndev,
+                                       dist.AXIS, sNP, sNyNx)
                 ddu = ssp.grad(ll, smats)
                 st = stash[0] if composite else stash
                 ddv = model.jacobian_planes(ddu, qdl, st, phys)
@@ -363,9 +374,9 @@ class DistributedProblem:
                     ddvp = model.pressure_jacobian_planes(
                         ddup, qdpl, stash[1], phys)
                     w = w + ssp_p.grad_T(ddvp, smats_p)
-                lout = slab_mod.local_to_lattice_adjoint(
-                    w, sa_, isf, sNP, sNyNx)
-                return dist.l2g_add(lout, sa_)
+                out = slab_mod.halo_adj(w, isf, toff, s_ndev, dist.AXIS,
+                                        sNP, sNyNx, sa_.n_owned_max)
+                return out[None]
 
         def stash_to_elem(stash):
             """Native (slab: global-quad planes) stash -> element-major
@@ -668,7 +679,8 @@ class DistributedProblem:
         # slab-spectral device data: qdata planes + first-shard flag travel
         # sharded; the banded GEMM matrices are replicated
         if slab is not None:
-            self._slabd = {"qd": slab.qd_planes, "isf": slab.is_first}
+            self._slabd = {"qd": slab.qd_planes, "isf": slab.is_first,
+                           "toff": slab.toff}
             if composite:
                 self._slabd["qdp"] = slab.qdp_planes
             self._smats2 = (slab.sp.matrices(),

@@ -61,6 +61,7 @@ class SlabSpectral:
     elem_gid: np.ndarray
     NyNx: int
     NP: int            # local node planes = p * ez_max + 1
+    toff: jnp.ndarray | None = None  # (ndev, 1) top-plane owned offset
 
     @staticmethod
     def build(prob, ndev: int) -> "SlabSpectral | None":
@@ -109,11 +110,80 @@ class SlabSpectral:
                                       pfine.basis.Q)
         is_first = jnp.asarray(
             np.array([[1] + [0] * (ndev - 1)], np.int32).T)
+        NyNx = sp.Ny * sp.Nx
+        p = prob.fine_space.degree
+        toff = np.array(
+            [[(p * sz + (1 if s == 0 else 0)) * NyNx - NyNx]
+             for s, sz in enumerate(sizes)], np.int32)
         return SlabSpectral(
             sp=sp, sp_p=sp_p, qd_planes=qd_planes, qdp_planes=qdp_planes,
             is_first=is_first, elem_gid=elem_gid,
-            NyNx=sp.Ny * sp.Nx, NP=sp.Nz,
+            NyNx=NyNx, NP=sp.Nz, toff=jnp.asarray(toff),
         )
+
+
+# ---------------------------------------------------------------------------
+# ppermute halo (round-4): the slab halo is ONE interface plane per
+# neighbor pair, so the general all_to_all + ghost-slot assembly of
+# dist.g2l/l2g_add (profiled at ~7 ms of the 12 ms ndev=1 overhead,
+# results/DIST1_PROFILE.json) is replaced by a neighbor ppermute of the
+# plane plus static-slice arithmetic. ndev == 1 is a static no-comm
+# specialization (what a single-chip production run executes).
+#
+# Plane ownership (see module docstring): the interface plane between
+# slabs s and s+1 is OWNED by s (its top plane = the LAST NyNx valid
+# owned slots); shard s > 0 reads it as its bottom ghost plane.
+# ---------------------------------------------------------------------------
+def halo_fwd(owned, isf, toff, ndev: int, axis, NP: int, NyNx: int):
+    """owned (c, n_owned_max) -> dense local lattice (c, NP*NyNx):
+    ppermute my top plane to my right neighbor; prepend the received
+    plane (shard 0 owns its bottom plane and shifts instead).
+
+    toff: per-shard scalar slot offset of the shard's TOP (interface)
+    plane within its owned block (valid_count - NyNx; handles uneven
+    slab sizes) — static data shipped via slabd."""
+    c, no = owned.shape
+    n = NP * NyNx
+    if ndev == 1:
+        return owned[:, :n]
+    import jax
+
+    z = jnp.zeros((), toff.dtype)
+    top = jax.lax.dynamic_slice(owned, (z, toff), (c, NyNx))
+    recv = jax.lax.ppermute(top, axis,
+                            [(s, s + 1) for s in range(ndev - 1)])
+    cat = jnp.concatenate([recv, owned[:, : no - NyNx]], axis=1)  # (c, no)
+    return jnp.where(isf > 0, owned[:, :n], cat[:, :n])
+
+
+def halo_adj(v, isf, toff, ndev: int, axis, NP: int, NyNx: int,
+             n_owned: int):
+    """Adjoint of halo_fwd: dense-lattice contributions (c, NP*NyNx) ->
+    owned-block contributions (c, n_owned_max); the bottom-plane
+    contribution of shard s > 0 rides a ppermute back to its owner's
+    top plane (window given by the owner's toff)."""
+    c = v.shape[0]
+    no = n_owned
+    n = NP * NyNx
+    import jax
+
+    if ndev == 1:
+        out = v
+        if n < no:
+            out = jnp.pad(v, ((0, 0), (0, no - n)))
+        return out
+    # my owned contribution (shard 0: all planes; others: planes 1..NP)
+    own0 = v[:, :no] if n >= no else jnp.pad(v, ((0, 0), (0, no - n)))
+    tail = v[:, NyNx:n]
+    own1 = jnp.pad(tail, ((0, 0), (0, no - tail.shape[1])))
+    out = jnp.where(isf > 0, own0, own1)
+    # bottom-plane contribution -> left neighbor's top plane
+    gc = v[:, :NyNx] * (1 - isf).astype(v.dtype)
+    recv = jax.lax.ppermute(gc, axis,
+                            [(s, s - 1) for s in range(1, ndev)])
+    z = jnp.zeros((), toff.dtype)
+    win = jax.lax.dynamic_slice(out, (z, toff), (c, NyNx))
+    return jax.lax.dynamic_update_slice(out, win + recv, (z, toff))
 
 
 # ---------------------------------------------------------------------------
