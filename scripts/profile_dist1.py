@@ -77,12 +77,16 @@ def main():
             with accurate_matmuls():
                 qdl = slabd_["qd"][0]
                 isf = slabd_["isf"][0, 0]
+                toff = slabd_["toff"][0, 0]
                 smats = smats2_[0]
+                ndev = 1
                 x = owned
-                if upto >= 1:
-                    x = dist.g2l(owned, sa_)
-                if upto >= 2:
-                    x = slab_mod.lattice_from_local(x, sa_, isf, sNP, sNyNx)
+                if upto >= 2:      # halo_fwd (stages 1+2 merged: the
+                    #                ppermute halo replaced g2l+lattice)
+                    x = slab_mod.halo_fwd(dist._blk(owned), isf, toff,
+                                          ndev, dist.AXIS, sNP, sNyNx)
+                elif upto >= 1:
+                    x = dist._blk(owned)
                 if upto >= 3:
                     x = ssp.grad(x, smats)
                 if upto >= 4:
@@ -90,11 +94,9 @@ def main():
                     x = dv
                 if upto >= 5:
                     x = ssp.grad_T(dv, smats)
-                if upto >= 6:
-                    x = slab_mod.local_to_lattice_adjoint(
-                        x, sa_, isf, sNP, sNyNx)
-                if upto >= 7:
-                    x = dist.l2g_add(x, sa_)
+                if upto >= 7:      # halo_adj (stages 6+7 merged)
+                    x = slab_mod.halo_adj(x, isf, toff, ndev, dist.AXIS,
+                                          sNP, sNyNx, sa_.n_owned_max)
                 if hasattr(x, "m"):                   # Mat3
                     s = sum(jnp.sum(p) for p in x.m)
                 else:
