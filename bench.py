@@ -370,7 +370,11 @@ def main():
         except Exception as e:
             extra["dist_error"] = repr(e)[:200]
         try:
-            us = unstructured_solve_bench()
+            # CPSTPU_BENCH_NO_USOLVE skips the (checkpoint-restarted,
+            # ~40 min worst case) unstructured solve when the worker's
+            # life windows are too short for it
+            us = (None if os.environ.get("CPSTPU_BENCH_NO_USOLVE")
+                  else unstructured_solve_bench())
             if us:
                 extra.update(us)
         except Exception as e:
