@@ -16,6 +16,16 @@ elasticity.c:754-765): full Newton + p-MG + AMG-coarse solve of hyperFS at
 degree 4, reporting dofs*KSP_iters/time, plus roofline context for the
 residual (achieved GEMM TF/s and HBM GB/s).
 
+SELF-BUDGETING (round 5): the harness takes a total wall budget
+(CPSTPU_BENCH_BUDGET_S, default 900 s) and ALWAYS emits its JSON line
+within it — the reference's perf summary always prints at end of solve
+(elasticity.c:754-765) and a bench that can time out instead of reporting
+is broken as a harness (VERDICT r4). Every measurement stage runs in a
+capped SUBPROCESS (`python bench.py --stage NAME`): a TPU worker death or
+client connect-hang kills one stage, never the headline. The parent never
+touches the TPU; it prints on SIGTERM too. Stages are skipped — with an
+explicit note in `extra` — when the remaining budget cannot cover them.
+
 vs_baseline anchors to 419.8 MDoF/s — the round-1 XLA structured path as
 measured by the judge on this chip (VERDICT.md).
 
@@ -29,24 +39,32 @@ Round-over-round headline notes:
   entity-row restriction the row pipeline actually uses (r3 measured
   the generic per-node path — not the hot path's cost).
 
-Env knobs: CPSTPU_BENCH_FAST=1 skips the solve-level part.
+Env knobs: CPSTPU_BENCH_BUDGET_S total wall budget (default 900);
+CPSTPU_BENCH_FAST=1 runs the headline residual stage only.
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-import jax
-import jax.numpy as jnp
-
 BASELINE_MDOFS = 419.8          # round-1 XLA path, judge-measured (VERDICT.md)
 
 
+# ======================================================================
+# Measurement stages — each runs in its own subprocess via --stage NAME
+# and prints "STAGE_RESULT {json}" on success. jax is imported lazily so
+# the orchestrator process never touches the TPU.
+# ======================================================================
+
 def residual_bench():
+    import jax
+    import jax.numpy as jnp
     from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
 
     backend = jax.default_backend()
@@ -111,63 +129,108 @@ def residual_bench():
         hbm_bytes = 4 * (2 * 3 * prob.fine_space.num_nodes
                          + 4 * nelem * P3 * 3 + 10 * nelem * Q3
                          + 9 * nelem * Q3)
+    mdofs = 1e-6 * ndofs / t_apply
     return {
-        "mdofs": 1e-6 * ndofs / t_apply,
-        "t_apply_ms": t_apply * 1e3,
-        "gemm_tfs": gemm_flops / t_apply / 1e12,
-        "hbm_floor_gbs": hbm_bytes / t_apply / 1e9,
-        "ndofs": ndofs,
-        "faces": faces[0],
+        "_headline_mdofs": round(mdofs, 3),
+        "residual_t_apply_ms": round(t_apply * 1e3, 4),
+        "residual_gemm_tfs": round(gemm_flops / t_apply / 1e12, 3),
+        "residual_hbm_floor_gbs": round(hbm_bytes / t_apply / 1e9, 2),
+        "residual_ndofs": ndofs,
+        "residual_box_faces": faces[0],
+        "backend": backend,
     }
 
 
-def dist_parity_bench():
-    """Distributed-vs-serial fine-apply parity at equal elements/shard:
-    DistributedProblem(ndev=1) runs the slab-spectral per-shard pipeline
-    (parallel/slab.py) on the same box as residual_bench; the ratio to the
-    serial spectral apply measures the SPMD overhead (target <= ~1.3x;
-    reference runs identical per-rank CeedOperators, src/matops.c:26-60)."""
+def dist_bench():
+    """Distributed-vs-serial fine-apply parity at equal elements/shard,
+    ndev=1 (the SPMD-overhead factor; reference runs identical per-rank
+    CeedOperators, src/matops.c:26-60). Two variants:
+      * box slab  — the ppermute plane-halo pipeline (parallel/slab.py)
+      * unstructured — the generic all_to_all halo path on the cylinder
+        mesh (VERDICT r4 weak #6: this path had no r4 measurement)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
     from ceedpetscsolid_tpu.parallel.driver import DistributedProblem
 
     if jax.default_backend() == "cpu":
         return None
-    faces = (24, 24, 24)
-    cfg = Config(problem="hyperFS", degree=4, nu=0.3, E=1.0, test_mode=True,
-                 box_faces=faces, multigrid="none", num_increments=1)
-    import numpy as np
-    prob = ElasticityProblem(cfg)
-    dp = DistributedProblem(prob, ndev=1)
-    ndofs = 3 * prob.fine_space.num_nodes
-    u = dp.to_owned(np.zeros((3, prob.fine_space.num_nodes), prob.dtype))
-    bc = dp.to_owned(prob.bcs.values(prob._coords, 1.0).T.astype(prob.dtype))
-    args = (bc, dp.F_sh, dp.mask_sh, dp.qdata_sh, dp.qdata_p_sh, dp.sa,
-            dp._sgrads[-1], dp.sgrads_p[-1] if dp.composite else None,
-            dp._slabd, dp._smats2)
-    reps = 20
+    out = {}
 
-    # scan with a data dependency, like residual_bench: amortizes the
-    # per-dispatch host->TPU transport latency out of the comparison
-    @jax.jit
-    def many(u0, a):
-        def body(c, _):
-            r = dp._resid_sm(c, *a)
-            return c + 1e-30 * r, None
-        out, _ = jax.lax.scan(body, u0, None, length=reps)
-        return out
+    def time_pair(cfg):
+        prob = ElasticityProblem(cfg)
+        dp = DistributedProblem(prob, ndev=1)
+        ndofs = 3 * prob.fine_space.num_nodes
+        u = dp.to_owned(np.zeros((3, prob.fine_space.num_nodes), prob.dtype))
+        bc = dp.to_owned(
+            prob.bcs.values(prob._coords, 1.0).T.astype(prob.dtype))
+        args = (bc, dp.F_sh, dp.mask_sh, dp.qdata_sh, dp.qdata_p_sh, dp.sa,
+                dp._sgrads[-1], dp.sgrads_p[-1] if dp.composite else None,
+                dp._slabd, dp._smats2)
+        reps = 20
 
-    jax.block_until_ready(many(u, args))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+        @jax.jit
+        def many(u0, a):
+            def body(c, _):
+                r = dp._resid_sm(c, *a)
+                return c + 1e-30 * r, None
+            o, _ = jax.lax.scan(body, u0, None, length=reps)
+            return o
+
         jax.block_until_ready(many(u, args))
-        best = min(best, time.perf_counter() - t0)
-    t = best / reps
-    return {
-        "dist1_residual_mdofs": round(1e-6 * ndofs / t, 1),
-        "dist1_residual_ms": round(t * 1e3, 3),
-        "dist1_slab": dp.slab is not None,
-    }
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(many(u, args))
+            best = min(best, time.perf_counter() - t0)
+        t_dist = best / reps
+
+        # serial apply on the same problem for the overhead ratio
+        bc_s = prob.bc_values(1.0)
+        u_s = jnp.zeros((3, prob.fine_space.num_nodes), prob.dtype)
+
+        @jax.jit
+        def many_s(u0, bc_, F_, big):
+            def body(c, _):
+                r = prob._nl_res_j(c, bc_, F_, big)[0]
+                return c + 1e-30 * jnp.sum(r), None
+            o, _ = jax.lax.scan(body, u0, None, length=reps)
+            return o
+
+        jax.block_until_ready(many_s(u_s, bc_s, prob.F, prob._big))
+        best_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(many_s(u_s, bc_s, prob.F, prob._big))
+            best_s = min(best_s, time.perf_counter() - t0)
+        return ndofs, t_dist, best_s / reps, dp.slab is not None
+
+    # box slab variant (the r4 headline path)
+    cfg = Config(problem="hyperFS", degree=4, nu=0.3, E=1.0, test_mode=True,
+                 box_faces=(24, 24, 24), multigrid="none", num_increments=1)
+    ndofs, t_d, t_s, is_slab = time_pair(cfg)
+    out["dist1_residual_mdofs"] = round(1e-6 * ndofs / t_d, 1)
+    out["dist1_residual_ms"] = round(t_d * 1e3, 3)
+    out["dist1_overhead_x"] = round(t_d / t_s, 3)
+    out["dist1_slab"] = is_slab
+
+    # unstructured variant (generic all_to_all halo, no slab structure)
+    cfg_u = Config(problem="hyperFS", degree=3, nu=0.3, E=1.0,
+                   mesh_file="/root/reference/meshes/"
+                             "cylinder8_5568e_2ss_us.exo",
+                   forcing="none", multigrid="none", num_increments=1,
+                   bc_clamp=(998, 999),
+                   bc_clamp_translate={998: (0.0, 0.0, 0.02)})
+    try:
+        ndofs, t_d, t_s, is_slab = time_pair(cfg_u)
+        out["dist1_unstructured_mdofs"] = round(1e-6 * ndofs / t_d, 1)
+        out["dist1_unstructured_ms"] = round(t_d * 1e3, 3)
+        out["dist1_unstructured_overhead_x"] = round(t_d / t_s, 3)
+        out["dist1_unstructured_slab"] = is_slab
+    except Exception as e:                          # noqa: BLE001
+        out["dist1_unstructured_error"] = repr(e)[:200]
+    return out
 
 
 def unstructured_bench():
@@ -176,6 +239,8 @@ def unstructured_bench():
     elasticity.c:754-765): fused Pallas kernel vs the XLA structured-row
     path at hyperFS degree 4, plus the gather/scatter share of the row
     apply (the E-vector restriction is SURVEY hard-part #1)."""
+    import jax
+    import jax.numpy as jnp
     from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
 
     if jax.default_backend() == "cpu":
@@ -245,56 +310,6 @@ def unstructured_bench():
     return out
 
 
-def unstructured_solve_bench():
-    """Solve-level DoFs/s on the unstructured mesh (BASELINE config 5's
-    actual intent): hyperFS degree 4 on cylinder8_44928e with the full
-    p-MG + AMG-coarse stack.
-
-    Runs in a CHECKPOINTED SUBPROCESS (scripts/usolve_ckpt.py): the
-    tunneled TPU worker dies after ~30-40 min of sustained heavy use on
-    this 8.9M-DoF mesh (round-4 bisection: independent of program size /
-    CG caps — residuals, all Pallas kernels, AMG, 46-iteration solves
-    and whole Newton steps all pass individually). The runner saves
-    (u, load, counters) after every converged increment and is
-    re-launched to resume, so the bench completes and reports the
-    restart count honestly."""
-    import subprocess
-    import tempfile
-
-    if jax.default_backend() == "cpu":
-        return None
-    ck = Path(tempfile.gettempdir()) / "usolve_bench_ckpt.npz"
-    if ck.exists():
-        ck.unlink()
-    script = Path(__file__).parent / "scripts" / "usolve_ckpt.py"
-    out = None
-    deadline = time.monotonic() + 80 * 60
-    attempt = 0
-    tail = ""
-    for attempt in range(1, 4):
-        if time.monotonic() > deadline:
-            break
-        try:
-            r = subprocess.run(
-                [sys.executable, str(script), str(ck), "4"],
-                capture_output=True, text=True,
-                timeout=max(60, min(2700, deadline - time.monotonic())),
-            )
-            tail = (r.stdout + r.stderr)[-400:]
-            for line in r.stdout.splitlines():
-                if line.startswith("USOLVE_RESULT "):
-                    out = json.loads(line[len("USOLVE_RESULT "):])
-            if out is not None:
-                break
-        except subprocess.TimeoutExpired:
-            tail = "attempt timed out"
-    if out is None:
-        return {"usolve_error": f"no result after {attempt} attempts",
-                "usolve_log_tail": tail[-300:]}
-    out["usolve_attempts"] = attempt
-    return out
-
-
 def solve_bench():
     """Full-solve DoFs/sec (dofs * KSP_iters / time, elasticity.c:763-764):
     hyperFS degree 4 with the full p-MG + AMG-coarse stack, Newton + CP
@@ -302,6 +317,7 @@ def solve_bench():
     f32 solve has a well-conditioned exact-solution target (stiff unstruct-
     ured twist configs need f64 CG — see results/BASELINE_RESULTS.json
     config4)."""
+    import jax
     from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
 
     backend = jax.default_backend()
@@ -332,66 +348,178 @@ def solve_bench():
     }
 
 
-def main():
-    backend = jax.default_backend()
-    if backend == "cpu":
+STAGE_FNS = {
+    "residual": residual_bench,
+    "solve": solve_bench,
+    "unstructured": unstructured_bench,
+    "dist": dist_bench,
+}
+
+
+def run_stage_child(name):
+    """Child-process entry: run one stage, print STAGE_RESULT json."""
+    import jax
+    if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
+    out = STAGE_FNS[name]()
+    print("STAGE_RESULT " + json.dumps(out if out is not None else {}),
+          flush=True)
 
-    res = residual_bench()
-    extra = {
-        "residual_t_apply_ms": round(res["t_apply_ms"], 4),
-        "residual_gemm_tfs": round(res["gemm_tfs"], 3),
-        "residual_hbm_floor_gbs": round(res["hbm_floor_gbs"], 2),
-        "residual_ndofs": res["ndofs"],
-        "residual_box_faces": res["faces"],
-        "backend": backend,
-    }
-    if not os.environ.get("CPSTPU_BENCH_FAST"):
-        try:
-            s = solve_bench()
-            if s:
-                extra.update(s)
-        except Exception as e:             # never fail the headline metric
-            extra["solve_error"] = repr(e)[:200]
-        try:
-            ub = unstructured_bench()
-            if ub:
-                extra.update(ub)
-        except Exception as e:
-            extra["unstructured_error"] = repr(e)[:200]
-        try:
-            db = dist_parity_bench()
-            if db:
-                extra.update(db)
-                # SPMD overhead factor: <= ~1.3 is the VERDICT r2 target
-                extra["dist1_overhead_x"] = round(
-                    db["dist1_residual_ms"] / extra["residual_t_apply_ms"],
-                    3)
-        except Exception as e:
-            extra["dist_error"] = repr(e)[:200]
-        try:
-            # CPSTPU_BENCH_NO_USOLVE skips the (checkpoint-restarted,
-            # ~40 min worst case) unstructured solve when the worker's
-            # life windows are too short for it
-            us = (None if os.environ.get("CPSTPU_BENCH_NO_USOLVE")
-                  else unstructured_solve_bench())
-            if us:
-                extra.update(us)
-        except Exception as e:
-            extra["usolve_error"] = repr(e)[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "hyperfs_residual_mdofs_per_sec_per_chip",
-                "value": round(res["mdofs"], 3),
-                "unit": "MDoF/s",
-                "vs_baseline": round(res["mdofs"] / BASELINE_MDOFS, 3),
-                "extra": extra,
-            }
+# ======================================================================
+# Orchestrator — budget accounting, subprocess stages, guaranteed output
+# ======================================================================
+
+def _spawn_stage(name, timeout_s):
+    """Run `bench.py --stage name` capped at timeout_s. Returns (dict or
+    None, note). Never raises."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            capture_output=True, text=True, timeout=timeout_s,
         )
-    )
+    except subprocess.TimeoutExpired as e:
+        tail = ((e.stdout or "") + (e.stderr or ""))[-300:]
+        return None, f"timeout after {timeout_s:.0f}s: {tail[-150:]}"
+    except Exception as e:                              # noqa: BLE001
+        return None, repr(e)[:200]
+    for line in (r.stdout or "").splitlines():
+        if line.startswith("STAGE_RESULT "):
+            try:
+                return json.loads(line[len("STAGE_RESULT "):]), None
+            except json.JSONDecodeError:
+                break
+    tail = ((r.stdout or "") + (r.stderr or ""))[-300:]
+    return None, f"rc={r.returncode}: {tail[-200:]}"
+
+
+def _usolve_stage(deadline, extra):
+    """Checkpointed unstructured solve (BASELINE config 5): hyperFS deg 4
+    on cylinder8_44928e with full p-MG + AMG. The tunneled TPU worker dies
+    under sustained load (round-4 bisection: environmental), so the runner
+    checkpoints after every converged increment and is re-launched within
+    the remaining budget; partial progress is reported honestly when the
+    budget ends before the continuation does."""
+    import tempfile
+    ck = Path(tempfile.gettempdir()) / "usolve_bench_ckpt.npz"
+    if ck.exists():
+        ck.unlink()
+    script = Path(__file__).parent / "scripts" / "usolve_ckpt.py"
+    final, partial, attempts, tail = None, None, 0, ""
+    while final is None and time.monotonic() < deadline - 30:
+        attempts += 1
+        cap = max(60, deadline - time.monotonic())
+        try:
+            r = subprocess.run(
+                [sys.executable, str(script), str(ck), "4"],
+                capture_output=True, text=True, timeout=cap)
+            stdout = r.stdout or ""
+            tail = (stdout + (r.stderr or ""))[-400:]
+        except subprocess.TimeoutExpired as e:
+            stdout = e.stdout or ""
+            tail = "attempt hit the bench budget"
+        except Exception as e:                          # noqa: BLE001
+            stdout, tail = "", repr(e)[:200]
+        for line in stdout.splitlines():
+            if line.startswith("USOLVE_PARTIAL "):
+                try:
+                    partial = json.loads(line[len("USOLVE_PARTIAL "):])
+                except json.JSONDecodeError:
+                    pass
+            elif line.startswith("USOLVE_RESULT "):
+                try:
+                    final = json.loads(line[len("USOLVE_RESULT "):])
+                except json.JSONDecodeError:
+                    pass
+        if attempts >= 6:
+            break
+    if final is not None:
+        final["usolve_attempts"] = attempts
+        extra.update(final)
+    elif partial is not None:
+        partial["usolve_attempts"] = attempts
+        partial["usolve_completed"] = False
+        partial["usolve_note"] = "budget ended mid-continuation; " \
+            "numbers cover the converged increments so far"
+        extra.update(partial)
+    else:
+        extra["usolve_error"] = f"no increment completed in budget " \
+                                f"({attempts} attempts): {tail[-200:]}"
+
+
+def orchestrate():
+    t0 = time.monotonic()
+    budget = float(os.environ.get("CPSTPU_BENCH_BUDGET_S", "900"))
+    reserve = 20.0                      # always keep time to print
+
+    def remaining():
+        return budget - (time.monotonic() - t0) - reserve
+
+    extra = {}
+    final = {
+        "metric": "hyperfs_residual_mdofs_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "MDoF/s",
+        "vs_baseline": 0.0,
+        "extra": extra,
+    }
+    emitted = []
+
+    def emit():
+        if not emitted:
+            emitted.append(True)
+            print(json.dumps(final), flush=True)
+
+    signal.signal(signal.SIGTERM, lambda *_: (emit(), os._exit(1)))
+    try:
+        # -- headline: residual throughput (retry once in a fresh process:
+        # a fresh client recovers from a transient worker death) ---------
+        res, note = None, None
+        for _ in range(2):
+            cap = min(420.0, remaining())
+            if cap < 60:
+                note = note or "no budget for residual stage"
+                break
+            res, note = _spawn_stage("residual", cap)
+            if res is not None:
+                break
+        if res is not None:
+            final["value"] = res.pop("_headline_mdofs", 0.0)
+            final["vs_baseline"] = round(final["value"] / BASELINE_MDOFS, 3)
+            extra.update(res)
+        else:
+            extra["residual_error"] = note
+
+        if not os.environ.get("CPSTPU_BENCH_FAST"):
+            for name, est, cap in (("solve", 90, 420.0),
+                                   ("unstructured", 120, 420.0),
+                                   ("dist", 60, 300.0)):
+                if remaining() < est:
+                    extra[f"{name}_skipped"] = \
+                        f"{remaining():.0f}s budget left < {est}s estimate"
+                    continue
+                out, note = _spawn_stage(name, min(cap, remaining()))
+                if out is not None:
+                    extra.update(out)
+                else:
+                    extra[f"{name}_error"] = note
+
+            # unstructured solve: opt-IN by remaining budget (VERDICT r4
+            # "Next round" #1) — runs with whatever budget is left
+            if remaining() > 240:
+                _usolve_stage(t0 + budget - reserve, extra)
+            else:
+                extra["usolve_skipped"] = \
+                    f"{remaining():.0f}s budget left < 240s floor"
+
+        extra["bench_wall_s"] = round(time.monotonic() - t0, 1)
+        extra["bench_budget_s"] = budget
+    finally:
+        emit()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        run_stage_child(sys.argv[2])
+    else:
+        orchestrate()

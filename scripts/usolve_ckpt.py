@@ -65,12 +65,29 @@ def main():
               f"{res.linear_iters} KSP rnorm {res.rnorm:.3e} "
               f"[{res.reason}]", flush=True)
         if res.converged:
+            snes = state["snes"] + _c[0]
+            ksp = state["ksp"] + _c[1]
+            t = state["time"] + time.perf_counter() - t0
             np.savez(ckpt_path, u=np.asarray(res.u, np.float32), load=load,
-                     snes=state["snes"] + _c[0],
-                     ksp=state["ksp"] + _c[1],
-                     time=state["time"] + time.perf_counter() - t0,
+                     snes=snes, ksp=ksp, time=t,
                      floor=max(state["floor"], float(res.rnorm)),
                      restarts=state["restarts"])
+            # progress line for the bench orchestrator: even if the budget
+            # (or the worker) ends this process, the converged-increments-
+            # so-far throughput is reported honestly
+            ndofs = 3 * prob.fine_space.num_nodes
+            print("USOLVE_PARTIAL " + json.dumps({
+                "usolve_partial_mdofs_per_sec": round(
+                    1e-6 * ndofs * ksp / max(t, 1e-9), 3),
+                "usolve_partial_load": load,
+                "usolve_partial_snes": snes,
+                "usolve_partial_ksp": ksp,
+                "usolve_partial_time_s": round(t, 3),
+                "usolve_dofs": ndofs,
+                "usolve_restarts": state["restarts"],
+                "usolve_config": "hyperFS deg4 cylinder8_44928e clamp, "
+                                 "pMG+AMG (checkpointed)",
+            }), flush=True)
 
     info = prob.solve(monitor=monitor, u0=state["u"],
                       start_load=state["load"], floor_atol0=state["floor"])
