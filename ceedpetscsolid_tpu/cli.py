@@ -115,6 +115,7 @@ def build_config(opts: dict):
         # (PCMGSetNumberSmooth(3), elasticity.c:589)
         ksp_rtol=get("outer_ksp_rtol", float, None),
         ksp_max_it=get("outer_ksp_max_it", int, 10_000),
+        ksp_monitor=get("ksp_monitor", _bool, False),
         smooth_its=get("outer_mg_smooth_its", int, 3),
         coarse_solve=get("coarse_pc_type", str, "amg"),
         coarse_cheb_its=get("coarse_ksp_max_it", int, 30),
@@ -129,6 +130,8 @@ def build_config(opts: dict):
     if ls not in ("cp", "basic"):
         raise SystemExit(f"unknown -snes_linesearch_type {ls!r}")
     cfg.newton.linesearch = ls
+    # Eisenstat-Walker adaptive forcing (PETSc -snes_ksp_ew)
+    cfg.newton.ew = get("snes_ksp_ew", _bool, cfg.newton.ew)
     view_soln = get("view_soln", _bool, False)
     view_final = get("view_final_soln", _bool, False)
     snes_monitor = get("snes_monitor", _bool, False)

@@ -70,6 +70,9 @@ class Config:
     # solver knobs
     ksp_rtol: float | None = 1e-10
     ksp_max_it: int = 10_000
+    # per-iteration KSP residual trace (-ksp_monitor; the reference gets
+    # it free from PETSc) — printed via jax.debug from inside the CG loop
+    ksp_monitor: bool = False
     smooth_its: int = 3                         # PCMGSetNumberSmooth(3)
     coarse_solve: str = "amg"                   # amg (GAMG analog) | chebyshev
     coarse_cheb_its: int = 30                   # chebyshev coarse fallback
@@ -382,11 +385,15 @@ class ElasticityProblem:
     def _jacobian_action(self, v, stash):
         return self._jac_act_j(v, stash, self._big)
 
-    def _linear_solve(self, G, stash, refresh=True):
+    def _linear_solve(self, G, stash, refresh=True, rtol=None):
         if refresh or (self._use_amg and "amg" not in self._big):
             self._refresh_amg(stash)
         pc = self._pc_setup(stash, refresh=refresh)
-        return self._lin_solve_j(G, stash, self._big, pc)
+        # rtol rides as a traced scalar so Eisenstat-Walker forcing terms
+        # (solve/newton.py) don't retrigger compilation per Newton step
+        rt = jnp.asarray(self.config.ksp_rtol if rtol is None else rtol,
+                         jnp.float32)
+        return self._lin_solve_j(G, stash, self._big, pc, rt)
 
     def _pc_setup(self, stash, refresh=True):
         """Preconditioner data (level diagonals + Chebyshev eigenvalue
@@ -624,7 +631,7 @@ class ElasticityProblem:
                     d = jnp.where(mask, 1.0, level_diag(-1, stash, big))
                     return (1.0 / d,)
 
-            def linear_solve_jacobi(G, stash, big, pc):
+            def linear_solve_jacobi(G, stash, big, pc, rtol):
                 """Jacobi CG (elasticity.c:515-518), or AMG-preconditioned
                 CG at degree 1 (PCGAMG, elasticity.c:519-521).
 
@@ -659,8 +666,8 @@ class ElasticityProblem:
                 # precision scopes (an active outer context would override
                 # the fast pc_precision inside M); pcg itself has no
                 # matmuls, its reductions are compensated dot2
-                res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol,
-                          maxiter=cfg.ksp_max_it)
+                res = pcg(A, -G, M_inv=M, rtol=rtol,
+                          maxiter=cfg.ksp_max_it, monitor=cfg.ksp_monitor)
                 return res.x, res.iters
 
             self._pc_setup_j = jax.jit(jacobi_setup)
@@ -736,7 +743,7 @@ class ElasticityProblem:
                     bounds.append((lo, hi))
                 return tuple(diag_invs), tuple(bounds)
 
-        def linear_solve_mg(G, stash, big, pc):
+        def linear_solve_mg(G, stash, big, pc, rtol):
             """p-MG-preconditioned CG.
 
             Precision scope (results/PC_PRECISION_AB.json): the OUTER CG
@@ -777,8 +784,8 @@ class ElasticityProblem:
             # precision scopes (an active outer context would override the
             # fast pc_precision inside M); pcg itself has no matmuls, its
             # reductions are compensated dot2
-            res = pcg(A, -G, M_inv=M, rtol=cfg.ksp_rtol,
-                      maxiter=cfg.ksp_max_it)
+            res = pcg(A, -G, M_inv=M, rtol=rtol,
+                      maxiter=cfg.ksp_max_it, monitor=cfg.ksp_monitor)
             return res.x, res.iters
 
         self._pc_setup_j = jax.jit(mg_setup)
@@ -830,10 +837,14 @@ class ElasticityProblem:
             def residual(uu):
                 return self._nonlinear_residual(uu, bc_vals, F)
 
-            def linear_solve(uu, G, stash):
+            def linear_solve(uu, G, stash, eta=None):
                 refresh = (nstep[0] % max(cfg.pc_lag, 1)) == 0
                 nstep[0] += 1
-                return self._linear_solve(G, stash, refresh=refresh)
+                # Eisenstat-Walker forcing: never looser than the clamp in
+                # newton_solve, never tighter than the configured ksp_rtol
+                rtol = None if eta is None else max(cfg.ksp_rtol, eta)
+                return self._linear_solve(G, stash, refresh=refresh,
+                                          rtol=rtol)
 
             def fused_ls(uu, G, d):
                 return self._ls_j(uu, G, d, bc_vals, F, self._big)

@@ -39,6 +39,7 @@ def pcg(
     atol: float = 1e-50,
     maxiter: int = 10_000,
     stall_its: int = 60,
+    monitor: bool = False,
 ) -> CGResult:
     """Solve A x = b with preconditioner M_inv (defaults to identity).
 
@@ -82,6 +83,10 @@ def pcg(
         beta = rz_new / rz
         p = z + beta * p
         rn = jnp.sqrt(jnp.abs(rz_new))
+        if monitor:
+            # -ksp_monitor analog (natural norm, like KSP_NORM_NATURAL)
+            jax.debug.print("  {it} KSP Residual norm {rn}",
+                            it=it + 1, rn=rn)
         # windowed stagnation: the norm must drop 5% below the anchor
         # within stall_its iterations or the solve is abandoned — a mere
         # "new best by 0.1%" criterion is evaded for thousands of

@@ -34,20 +34,22 @@ W = 32
 NN = NV + NEDG * SE + NF * SF + E * 27   # total L-vector nodes
 
 
-def timeit(fn, *args, reps=16):
+def timeit(fn, x0, *args, reps=16):
+    """fn(carry, *args) -> array; the CARRY is the gathered source so the
+    op cannot be hoisted out of the scan as loop-invariant."""
     @jax.jit
-    def many(a):
+    def many(x, a):
         def body(c, _):
-            r = fn(*a)
+            r = fn(c, *a)
             return c + 1e-30 * jnp.sum(r), None
-        o, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        o, _ = jax.lax.scan(body, x, None, length=reps)
         return o
 
-    jax.block_until_ready(many(args))
+    jax.block_until_ready(many(x0, args))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(many(args))
+        jax.block_until_ready(many(x0, args))
         best = min(best, time.perf_counter() - t0)
     return best / reps
 
