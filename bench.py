@@ -60,7 +60,37 @@ BASELINE_MDOFS = 419.8          # round-1 XLA path, judge-measured (VERDICT.md)
 # Measurement stages — each runs in its own subprocess via --stage NAME
 # and prints "STAGE_RESULT {json}" on success. jax is imported lazily so
 # the orchestrator process never touches the TPU.
+#
+# Sync discipline (round-5 finding): on the tunneled TPU backend
+# jax.block_until_ready does NOT reliably block — the only trustworthy
+# sync is fetching a SCALAR to the host. Every timing closure therefore
+# reduces its result to one scalar inside jit (4 bytes over the tunnel),
+# and the measured empty-call round trip (~23 ms) is subtracted.
 # ======================================================================
+
+def _rtt():
+    import jax
+    import jax.numpy as jnp
+    nop = jax.jit(lambda x: jnp.sum(x))
+    z = jnp.zeros((8,), jnp.float32)
+    float(nop(z))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(nop(z))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _time_scalar(fn, *args, rtt=0.0):
+    """fn(*args) -> device scalar; returns best-of-3 seconds, RTT-corrected."""
+    float(fn(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - rtt, 1e-9)
 
 def residual_bench():
     import jax
@@ -95,18 +125,10 @@ def residual_bench():
             r = prob._nl_res_j(c, bc_, F_, big)[0]
             return c + 1e-30 * jnp.sum(r), None
         out, _ = jax.lax.scan(body, u0, None, length=reps)
-        return out
+        return jnp.vdot(out.ravel(), out.ravel())     # scalar sync
 
-    r = many(u, bc, F, prob._big)          # compile + warmup
-    jax.block_until_ready(r)
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(many(u, bc, F, prob._big))
-        best = min(best, time.perf_counter() - t0)
-
-    t_apply = best / reps
+    rtt = _rtt() if backend != "cpu" else 0.0
+    t_apply = _time_scalar(many, u, bc, F, prob._big, rtt=rtt) / reps
     nelem = prob.factory.nelem
     P3, Q3 = prob.factory.fine.basis.P3, prob.factory.Q3
     sp = prob.factory.fine.spectral
@@ -170,21 +192,17 @@ def dist_bench():
                 dp._slabd, dp._smats2)
         reps = 20
 
+        rtt = _rtt()
+
         @jax.jit
         def many(u0, a):
             def body(c, _):
                 r = dp._resid_sm(c, *a)
                 return c + 1e-30 * r, None
             o, _ = jax.lax.scan(body, u0, None, length=reps)
-            return o
+            return jnp.vdot(o.ravel(), o.ravel())     # scalar sync
 
-        jax.block_until_ready(many(u, args))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(many(u, args))
-            best = min(best, time.perf_counter() - t0)
-        t_dist = best / reps
+        t_dist = _time_scalar(many, u, args, rtt=rtt) / reps
 
         # serial apply on the same problem for the overhead ratio
         bc_s = prob.bc_values(1.0)
@@ -196,15 +214,11 @@ def dist_bench():
                 r = prob._nl_res_j(c, bc_, F_, big)[0]
                 return c + 1e-30 * jnp.sum(r), None
             o, _ = jax.lax.scan(body, u0, None, length=reps)
-            return o
+            return jnp.vdot(o.ravel(), o.ravel())     # scalar sync
 
-        jax.block_until_ready(many_s(u_s, bc_s, prob.F, prob._big))
-        best_s = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(many_s(u_s, bc_s, prob.F, prob._big))
-            best_s = min(best_s, time.perf_counter() - t0)
-        return ndofs, t_dist, best_s / reps, dp.slab is not None
+        t_ser = _time_scalar(many_s, u_s, bc_s, prob.F, prob._big,
+                             rtt=rtt) / reps
+        return ndofs, t_dist, t_ser, dp.slab is not None
 
     # box slab variant (the r4 headline path)
     cfg = Config(problem="hyperFS", degree=4, nu=0.3, E=1.0, test_mode=True,
@@ -218,7 +232,7 @@ def dist_bench():
     # unstructured variant (generic all_to_all halo, no slab structure)
     cfg_u = Config(problem="hyperFS", degree=3, nu=0.3, E=1.0,
                    mesh_file="/root/reference/meshes/"
-                             "cylinder8_5568e_2ss_us.exo",
+                             "cylinder8_5580e_2ss_us.exo",
                    forcing="none", multigrid="none", num_increments=1,
                    bc_clamp=(998, 999),
                    bc_clamp_translate={998: (0.0, 0.0, 0.02)})
@@ -270,17 +284,12 @@ def unstructured_bench():
                 r = prob._nl_res_j(c, bc_, F_, big)[0]
                 return c + 1e-30 * jnp.sum(r), None
             o, _ = jax.lax.scan(body, u0, None, length=reps)
-            return o
+            return jnp.vdot(o.ravel(), o.ravel())     # scalar sync
 
-        jax.block_until_ready(many(u, bc, F, prob._big))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(many(u, bc, F, prob._big))
-            best = min(best, time.perf_counter() - t0)
-        out[f"unstructured_{name}_mdofs"] = round(1e-6 * ndofs / (best / reps),
-                                                  1)
-        out[f"unstructured_{name}_ms"] = round(best / reps * 1e3, 3)
+        rtt = _rtt()
+        t = _time_scalar(many, u, bc, F, prob._big, rtt=rtt) / reps
+        out[f"unstructured_{name}_mdofs"] = round(1e-6 * ndofs / t, 1)
+        out[f"unstructured_{name}_ms"] = round(t * 1e3, 3)
     out["unstructured_ndofs"] = 3 * prob.fine_space.num_nodes
 
     # gather/scatter share of the row apply, measured on the STRUCTURED
@@ -294,17 +303,16 @@ def unstructured_bench():
     def gs(u0, r_):
         def body(c, _):
             ve = r_.gather_rows(c)
-            return r_.scatter_rows(ve) * 1e-30 + c, None
+            c2 = r_.scatter_rows(ve) * 1e-30 + c
+            # roll-by-data-dependent-zero: gather(x + broadcast(s)) would
+            # otherwise commute + hoist out of the scan
+            zi = jnp.where(jnp.isfinite(c2[0, 0]), 0, 1)
+            return jnp.roll(c2, zi, axis=0), None
         o, _ = jax.lax.scan(body, u0, None, length=20)
-        return o
+        return jnp.vdot(o.ravel(), o.ravel())         # scalar sync
 
-    jax.block_until_ready(gs(u_rows, srestr))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(gs(u_rows, srestr))
-        best = min(best, time.perf_counter() - t0)
-    out["unstructured_gather_scatter_ms"] = round(best / 20 * 1e3, 3)
+    t = _time_scalar(gs, u_rows, srestr, rtt=_rtt()) / 20
+    out["unstructured_gather_scatter_ms"] = round(t * 1e3, 3)
     out["unstructured_gs_share_of_row"] = round(
         out["unstructured_gather_scatter_ms"] / out["unstructured_row_ms"], 3)
     return out

@@ -34,22 +34,18 @@ W = 32
 NN = NV + NEDG * SE + NF * SF + E * 27   # total L-vector nodes
 
 
-def timeit(fn, x0, *args, reps=16):
-    """fn(carry, *args) -> array; the CARRY is the gathered source so the
-    op cannot be hoisted out of the scan as loop-invariant."""
-    @jax.jit
-    def many(x, a):
-        def body(c, _):
-            r = fn(c, *a)
-            return c + 1e-30 * jnp.sum(r), None
-        o, _ = jax.lax.scan(body, x, None, length=reps)
-        return o
-
-    jax.block_until_ready(many(x0, args))
+def timeit(fn, x0, *args, reps=10):
+    """Direct async-dispatch timing: queue `reps` executions, block on the
+    last. Scan-with-carry coupling is NOT safe here — XLA's algebraic
+    simplifier commutes gather(x + broadcast(s)) = gather(x) + s and then
+    hoists the loop-invariant gather, reporting fantasy TB/s."""
+    f = jax.jit(fn)
+    jax.block_until_ready(f(x0, *args))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(many(x0, args))
+        rs = [f(x0, *args) for _ in range(reps)]
+        jax.block_until_ready(rs[-1])
         best = min(best, time.perf_counter() - t0)
     return best / reps
 

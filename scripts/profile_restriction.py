@@ -31,30 +31,51 @@ import jax.numpy as jnp
 MESH = "/root/reference/meshes/cylinder8_44928e_2ss_us.exo"
 
 
-def timeit(fn, reps=3, warmup=1):
-    for _ in range(warmup):
-        r = fn()
-    jax.block_until_ready(r)
+RTT = [0.0]
+
+
+def _rtt():
+    """Tunnel round-trip cost of an empty jitted call + scalar fetch."""
+    nop = jax.jit(lambda x: jnp.sum(x))
+    z = jnp.zeros((8,), jnp.float32)
+    float(nop(z))
     best = float("inf")
-    for _ in range(reps):
+    for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        float(nop(z))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
 def scan_time(fn_one, x0, args, R=16):
-    """fn_one(carry, *args) -> array to sum-couple into the carry."""
+    """fn_one(carry, *args) -> array sum-coupled into the carry.
+
+    Sync discipline (round-5 finding): on this tunneled backend
+    block_until_ready does NOT reliably block — the only trustworthy sync
+    is fetching a SCALAR to the host. The jitted scan therefore reduces to
+    one scalar; the ~23 ms tunnel RTT is measured and subtracted."""
 
     @jax.jit
     def many(x, a):
         def body(c, _):
             r = fn_one(c, *a)
-            return c + 1e-30 * jnp.sum(r), None
+            # roll-by-data-dependent-zero coupling: XLA commutes
+            # gather(x + broadcast(s)) = gather(x) + s and would hoist a
+            # sum-coupled gather as loop-invariant; it cannot see through
+            # a dynamic roll amount. Costs one streaming copy of the
+            # carry per iteration (~0.25 ms at these sizes).
+            zi = jnp.where(jnp.isfinite(jnp.sum(r)), 0, 1)
+            return jnp.roll(c, zi, axis=-1), None
         o, _ = jax.lax.scan(body, x, None, length=R)
-        return o
+        return jnp.sum(o) * 1e-30
 
-    return timeit(lambda: many(x0, args)) / R
+    float(many(x0, args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many(x0, args))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - RTT[0], 1e-9) / R
 
 
 def gather_take_only(c, s):
@@ -76,6 +97,9 @@ def gather_take_only(c, s):
 
 def main():
     from ceedpetscsolid_tpu.problem import Config, ElasticityProblem
+
+    RTT[0] = _rtt()
+    print(f"rtt_ms {RTT[0]*1e3:.2f}")
 
     cfg = Config(problem="hyperFS", degree=4, nu=0.3, E=1.0,
                  mesh_file=MESH, forcing="none", multigrid="none",
