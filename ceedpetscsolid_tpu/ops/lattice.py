@@ -114,13 +114,21 @@ class LatticeRestriction:
     # -- StructuredRestriction-compatible row interface (transpose shims) --
     # NOTE: element-local column order is plain lattice (x fastest); build
     # the gradient GEMM with col_lattice = arange(P3).
-    def gather_rows(self, u_rows: jnp.ndarray) -> jnp.ndarray:
-        """(num_nodes, 3) -> (nelem, P3*3) node-major, comps contiguous."""
+    def gather_rows(self, u_rows: jnp.ndarray,
+                    e_pad: int | None = None,
+                    cols_pad: int | None = None) -> jnp.ndarray:
+        """(num_nodes, 3) -> (nelem[+pad], P3*3[+pad]) node-major rows."""
         ue = self.gather(u_rows.T)                    # (3, e, P3)
-        return ue.transpose(1, 2, 0).reshape(self.nelem, self.P3 * 3)
+        out = ue.transpose(1, 2, 0).reshape(self.nelem, self.P3 * 3)
+        pe = 0 if e_pad is None else max(0, e_pad - out.shape[0])
+        pc = 0 if cols_pad is None else max(0, cols_pad - out.shape[1])
+        if pe or pc:
+            out = jnp.pad(out, ((0, pe), (0, pc)))
+        return out
 
     def scatter_rows(self, ve: jnp.ndarray) -> jnp.ndarray:
-        """(nelem, P3*3) -> (num_nodes, 3) owner-summed."""
+        """(nelem[+pad], P3*3[+pad]) -> (num_nodes, 3) owner-summed."""
+        ve = ve[:self.nelem, :self.P3 * 3]
         v3 = ve.reshape(self.nelem, self.P3, 3).transpose(2, 0, 1)
         return self.scatter_add(v3).T
 

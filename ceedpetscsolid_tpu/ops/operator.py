@@ -366,19 +366,16 @@ class OperatorFactory:
             )
 
             def apply_pl(u, qdata_s, sr, sk):
-                Kg, KgT = sk
-                if lattice:    # gather IS the kernel layout; pad only
-                    ue = jnp.pad(sr.gather(u),
-                                 ((0, 0), (0, e_pad - nelem),
-                                  (0, fused.P3p - P3)))
-                else:
-                    ue = pallas_apply.pack_rows(sr.gather_rows(u.T),
-                                                e_pad, fused.P3p)
-                out = fused(ue, qdata_s, Kg, KgT)
-                ve3, stash = out if has_stash else (out, None)
-                if lattice:
-                    return sr.scatter_add(ve3[:, :nelem, :P3]), stash
-                ve = pallas_apply.unpack_rows(ve3, nelem, P3)
+                # unified rows layout: the kernel de-interleaves components
+                # on the MXU (pallas_apply docstring); gather emits the
+                # kernel-padded rows directly and scatter slices padding
+                # off inside its class takes — no standalone pad/slice
+                # copies of the 67 MB E-rows array. Boxes go through the
+                # LatticeRestriction row shims (non-default path — spectral
+                # wins there).
+                ue = sr.gather_rows(u.T, fused.e_pad, fused.P3r)
+                out = fused(ue, qdata_s, sk)
+                ve, stash = out if has_stash else (out, None)
                 return sr.scatter_rows(ve).T, stash
 
             return apply_pl
@@ -441,19 +438,8 @@ class OperatorFactory:
             )
 
             def japply_pl(v, qdata_s, stash, sr, sk):
-                Kg, KgT = sk
-                if lattice:
-                    ue = jnp.pad(sr.gather(v),
-                                 ((0, 0), (0, e_pad - nelem),
-                                  (0, fused.P3p - P3)))
-                else:
-                    ue = pallas_apply.pack_rows(sr.gather_rows(v.T),
-                                                e_pad, fused.P3p)
-                ve3 = fused(ue, qdata_s, Kg, KgT,
-                            stash if stash_in else None)
-                if lattice:
-                    return sr.scatter_add(ve3[:, :nelem, :P3])
-                ve = pallas_apply.unpack_rows(ve3, nelem, P3)
+                ue = sr.gather_rows(v.T, fused.e_pad, fused.P3r)
+                ve = fused(ue, qdata_s, sk, stash if stash_in else None)
                 return sr.scatter_rows(ve).T
 
             return japply_pl

@@ -17,13 +17,32 @@ contiguous, interiors element-ordered):
   (p-1)*3 resp. (p-1)^2*3 values per entity), with the per-element lattice
   ordering restored by a static orientation permutation — orders of
   magnitude fewer gather rows than per-node takes;
-* the transpose (owner-sum) is one padded row-take per entity class plus a
-  reshape-sum, bitwise deterministic.
+* the transpose (owner-sum) is one row-take per entity class plus a
+  masked reshape-sum, bitwise deterministic.
+
+TPU row-gather facts this layout is built on (measured round 5, honest
+chained-scan timing on the tunneled v5-lite chip — scripts/restr_stages.py):
+
+* gather throughput is ~150 M rows/s independent of row WIDTH up to 128
+  lanes, but COLLAPSES ~4x once the source table exceeds ~40 MB. Each
+  entity class therefore gathers from its own natural-width table (a free
+  reshape view of the L-vector region, 0.6/5.2/15 MB at p=4 on the 8.9M-DoF
+  cylinder) instead of one 32-lane-padded union table (42+ MB). The padded
+  union table of round 4 sat on the wrong side of that cliff.
+* 2-D index arrays gather ~1.6x slower than the identical flat 1-D array;
+  every take here flattens its indices.
+* orientation permutations as 8 candidate permutes + where-chain on
+  (e, ns, s, 3) tensors waste ~5 ms in tiny-lane layouts; as (rows, w)
+  permutation-matrix GEMMs (precision='highest' — exact for 0/1 matrices)
+  + the same select chain they cost ~3 ms and keep full lanes.
 
 This is the CeedElemRestriction + CeedBasis pair (reference
 src/setuplibceed.c:194-240, 335-348) re-designed for the TPU memory system:
 row-major moves, one MXU contraction per direction set, zero 4D transposes.
-Measured ~2.2x faster end-to-end than the generic path on hyperFS degree 4.
+
+Unlike the reference, constrained (Dirichlet) DOFs are NOT encoded as
+negative indices; boundary conditions are applied by masking at the solver
+level.
 """
 
 from __future__ import annotations
@@ -90,7 +109,7 @@ def _orientation_sigs(perm: np.ndarray):
 def _transpose_map(ids: np.ndarray, nent: int) -> np.ndarray:
     """ids (e, ns): entity id per element slot. Returns padded (nent, K)
     table of flat e*ns positions contributing to each entity; sentinel =
-    e*ns (an appended zero row at apply time)."""
+    e*ns (masked to zero at apply time)."""
     e, ns = ids.shape
     flat = ids.reshape(-1).astype(np.int64)
     order = np.argsort(flat, kind="stable")
@@ -102,6 +121,22 @@ def _transpose_map(ids: np.ndarray, nent: int) -> np.ndarray:
         rows = np.nonzero(counts > k)[0]
         out[rows, k] = order[starts[rows] + k]
     return out
+
+
+def _perm_matrices(perms, width: int) -> np.ndarray:
+    """(n_perm, width, width) lane matrices realizing the node perms on
+    node-major comp-fastest rows: out[:, i*3+c] = in[:, perm[i]*3+c].
+    Entries are exact 0/1; applied with precision='highest' these GEMMs
+    are bitwise-exact on TPU (default bf16 matmul precision would round
+    the VALUES)."""
+    mats = []
+    for pm in perms:
+        M = np.zeros((width, width), np.float32)
+        for i, src in enumerate(pm):
+            for c in range(3):
+                M[src * 3 + c, i * 3 + c] = 1.0
+        mats.append(M)
+    return np.stack(mats)
 
 
 class StructuredMaps:
@@ -198,6 +233,11 @@ class StructuredRestriction:
     gather_rows: (num_nodes, 3) -> (nelem, P3*3) class-ordered, node-major
       with the 3 components contiguous per node.
     scatter_rows: transpose with owner-sum, (nelem, P3*3) -> (num_nodes, 3).
+
+    Every take reads from a per-class natural-width table (a reshape VIEW
+    of an L-vector region — no union table is ever materialized) with flat
+    1-D indices; see the module docstring for the measured TPU gather
+    behavior this encodes.
     """
 
     def __init__(self, maps: StructuredMaps):
@@ -208,24 +248,33 @@ class StructuredRestriction:
             getattr(maps, "nedges", 0), getattr(maps, "nfaces", 0),
             getattr(maps, "edge_perms", ()), getattr(maps, "face_perms", ()),
         )
+
+        def masked(tmap, sentinel):
+            m = (tmap != sentinel)
+            ids = np.where(m, tmap, 0).astype(np.int32)
+            return jnp.asarray(ids), jnp.asarray(m.astype(np.float32))
+
+        self.vert_ids = jnp.asarray(maps.vert_ids)
+        self.vert_tmap, self.vert_tmask = masked(
+            np.asarray(maps.vert_tmap), maps.nelem * 8)
         if p == 1:
-            self.ids = jnp.asarray(maps.vert_ids)
+            self.edge_ids = self.face_ids = None
             self.e_sig = self.f_sig = None
-            self.vert_tmap = jnp.asarray(maps.vert_tmap)
-            self.edge_tmap = self.face_tmap = None
+            self.e_pmats = self.f_pmats = None
+            self.edge_tmap = self.edge_tmask = None
+            self.face_tmap = self.face_tmask = None
             return
-        # combined entity-row ids: verts, then edges offset by nverts, then
-        # faces offset by nverts+nedges (one unified row table at apply time)
-        self.ids = jnp.asarray(np.concatenate(
-            [maps.vert_ids,
-             maps.edge_ids + maps.nverts,
-             maps.face_ids + maps.nverts + maps.nedges], axis=1
-        ).astype(np.int32))                                        # (e, 26)
-        self.e_sig = jnp.asarray(maps.edge_sig)
-        self.f_sig = jnp.asarray(maps.face_sig)
-        self.vert_tmap = jnp.asarray(maps.vert_tmap)
-        self.edge_tmap = jnp.asarray(maps.edge_tmap)
-        self.face_tmap = jnp.asarray(maps.face_tmap)
+        self.edge_ids = jnp.asarray(maps.edge_ids)
+        self.face_ids = jnp.asarray(maps.face_ids)
+        self.e_sig = jnp.asarray(maps.edge_sig.reshape(-1))    # (e*12,)
+        self.f_sig = jnp.asarray(maps.face_sig.reshape(-1))    # (e*6,)
+        self.e_pmats = jnp.asarray(_perm_matrices(maps.edge_perms, (p - 1) * 3))
+        self.f_pmats = jnp.asarray(
+            _perm_matrices(maps.face_perms, (p - 1) ** 2 * 3))
+        self.edge_tmap, self.edge_tmask = masked(
+            np.asarray(maps.edge_tmap), maps.nelem * 12)
+        self.face_tmap, self.face_tmask = masked(
+            np.asarray(maps.face_tmap), maps.nelem * 6)
 
     def _init_static(self, p, nelem, num_nodes, nverts, off_e, off_f, off_c,
                      nedges, nfaces, edge_perms, face_perms):
@@ -237,107 +286,124 @@ class StructuredRestriction:
         self.nedges, self.nfaces = nedges, nfaces
         self.edge_perms = edge_perms        # tuple of tuples (static)
         self.face_perms = face_perms
-        s_e, s_f = p - 1, (p - 1) ** 2
-        # unified row width, padded to 32 lanes (128 B). A standalone
-        # probe (scripts/try_pallas_gather) gathers 32-wide rows at
-        # 42.6 GB/s vs ~6 GB/s for this table; in production the padding
-        # measured neutral (results/RESTRICTION_PROFILE.json) — the
-        # probe/production gap is NOT row width alone and remains the
-        # open lead on SURVEY hard-part #1.
-        w = max(3, s_e * 3, s_f * 3)
-        self.W = -(-w // 32) * 32 if w > 8 else 8
         self.P3 = (p + 1) ** 3
 
-    # -- orientation permutation selection (static perms, tiny count) ----
+    # -- orientation perms: per-variant 0/1-matrix GEMM + select ---------
     @staticmethod
-    def _apply_perms(rows, perms, sig, inverse=False):
-        """rows (e, ns, s, 3); perms static tuples; sig (e, ns) int."""
-        tabs = [np.argsort(pm) if inverse else np.asarray(pm) for pm in perms]
-        if len(tabs) == 1:
-            pm = tabs[0]
-            if np.array_equal(pm, np.arange(len(pm))):
-                return rows
-            return rows[:, :, jnp.asarray(pm), :]
-        out = rows[:, :, jnp.asarray(tabs[0]), :]
-        for o in range(1, len(tabs)):
-            cand = rows[:, :, jnp.asarray(tabs[o]), :]
-            out = jnp.where((sig == o)[:, :, None, None], cand, out)
+    def _perm_select(rows, pmats, sig, perms, inverse=False):
+        """rows (R, w); pmats (n, w, w) exact perm matrices; sig (R,);
+        perms the STATIC tuple the matrices realize (identity fast path)."""
+        n = len(perms)
+        if n == 1 and tuple(perms[0]) == tuple(range(len(perms[0]))):
+            return rows
+        mats = jnp.transpose(pmats, (0, 2, 1)) if inverse else pmats
+        acc = jnp.dot(rows, mats[0], precision="highest")
+        for o in range(1, n):
+            acc = jnp.where((sig == o)[:, None],
+                            jnp.dot(rows, mats[o], precision="highest"), acc)
+        return acc
+
+    def gather_rows(self, u_rows: jnp.ndarray,
+                    e_pad: int | None = None,
+                    cols_pad: int | None = None) -> jnp.ndarray:
+        """(num_nodes, 3) -> (nelem, P3*3) class-ordered.
+
+        e_pad/cols_pad zero-pad the output in the SAME concatenate that
+        assembles it (a separate jnp.pad re-copies the full E-rows array —
+        ~3 ms on the 8.9M-DoF cylinder)."""
+        p, nelem = self.p, self.nelem
+        if p == 1:
+            out = jnp.take(u_rows, self.vert_ids.reshape(-1),
+                           axis=0).reshape(nelem, -1)
+            return self._pad_out(out, e_pad, cols_pad)
+        s_e, s_f, s_c = p - 1, (p - 1) ** 2, (p - 1) ** 3
+        we, wf = s_e * 3, s_f * 3
+        et = u_rows[self.off_e:self.off_f].reshape(self.nedges, we)
+        ft = u_rows[self.off_f:self.off_c].reshape(self.nfaces, wf)
+        vr = jnp.take(u_rows[:self.nverts], self.vert_ids.reshape(-1),
+                      axis=0).reshape(nelem, 24)
+        er = jnp.take(et, self.edge_ids.reshape(-1), axis=0)   # (e*12, we)
+        fr = jnp.take(ft, self.face_ids.reshape(-1), axis=0)   # (e*6, wf)
+        er = self._perm_select(er, self.e_pmats, self.e_sig, self.edge_perms)
+        fr = self._perm_select(fr, self.f_pmats, self.f_sig, self.face_perms)
+        parts = [
+            vr,
+            er.reshape(nelem, 12 * we),
+            fr.reshape(nelem, 6 * wf),
+            u_rows[self.off_c:].reshape(nelem, s_c * 3),
+        ]
+        if cols_pad is not None and cols_pad > self.P3 * 3:
+            parts.append(jnp.zeros((nelem, cols_pad - self.P3 * 3),
+                                   u_rows.dtype))
+        out = jnp.concatenate(parts, axis=1)
+        if e_pad is not None and e_pad > nelem:
+            out = jnp.concatenate(
+                [out, jnp.zeros((e_pad - nelem, out.shape[1]), out.dtype)],
+                axis=0)
         return out
 
-    def gather_rows(self, u_rows: jnp.ndarray) -> jnp.ndarray:
-        """(num_nodes, 3) -> (nelem, P3*3) class-ordered."""
-        p, nelem, W = self.p, self.nelem, self.W
-        if p == 1:
-            return jnp.take(u_rows, self.ids, axis=0).reshape(nelem, -1)
-        s_e, s_f, s_c = p - 1, (p - 1) ** 2, (p - 1) ** 3
-
-        def pad_w(x, w):
-            return x if w == W else jnp.pad(x, ((0, 0), (0, W - w)))
-
-        tab = jnp.concatenate([
-            pad_w(u_rows[: self.nverts], 3),
-            pad_w(u_rows[self.off_e:self.off_f].reshape(self.nedges, s_e * 3),
-                  s_e * 3),
-            pad_w(u_rows[self.off_f:self.off_c].reshape(self.nfaces, s_f * 3),
-                  s_f * 3),
-        ], axis=0)
-        rows = jnp.take(tab, self.ids, axis=0)         # (e, 26, W)
-        vr = rows[:, :8, :3]
-        er = rows[:, 8:20, :s_e * 3].reshape(nelem, 12, s_e, 3)
-        er = self._apply_perms(er, self.edge_perms, self.e_sig)
-        fr = rows[:, 20:, :s_f * 3].reshape(nelem, 6, s_f, 3)
-        fr = self._apply_perms(fr, self.face_perms, self.f_sig)
-        return jnp.concatenate([
-            vr.reshape(nelem, -1),
-            er.reshape(nelem, -1),
-            fr.reshape(nelem, -1),
-            u_rows[self.off_c:].reshape(nelem, s_c * 3),
-        ], axis=1)
+    @staticmethod
+    def _pad_out(out, e_pad, cols_pad):
+        pe = 0 if e_pad is None else max(0, e_pad - out.shape[0])
+        pc = 0 if cols_pad is None else max(0, cols_pad - out.shape[1])
+        if pe or pc:
+            out = jnp.pad(out, ((0, pe), (0, pc)))
+        return out
 
     @staticmethod
-    def _gather_sum(rows_flat, tmap, width):
-        """One padded take + reshape-sum; tmap (nent, K), sentinel = nrows.
-
-        Rows are padded to 32 lanes before the take (same ~6x row-gather
-        alignment effect as in gather_rows)."""
+    def _gather_sum(rows_flat, tmap, tmask):
+        """Masked owner-sum: one flat take + reshape-sum. Sentinel slots
+        point at row 0 with weight 0 (exact zero contribution)."""
         nent, K = tmap.shape
-        wp = -(-width // 32) * 32 if width > 8 else 8
-        if wp != width:
-            rows_flat = jnp.pad(rows_flat, ((0, 0), (0, wp - width)))
-        ext = jnp.concatenate(
-            [rows_flat, jnp.zeros((1, wp), rows_flat.dtype)], axis=0)
-        g = jnp.take(ext, tmap.reshape(-1), axis=0)
-        return g.reshape(nent, K, wp).sum(axis=1)[:, :width]
+        g = jnp.take(rows_flat, tmap.reshape(-1), axis=0)
+        g = g.reshape(nent, K, rows_flat.shape[1])
+        return (g * tmask[:, :, None]).sum(axis=1)
 
     def scatter_rows(self, ve: jnp.ndarray) -> jnp.ndarray:
-        """(nelem, P3*3) class-ordered -> (num_nodes, 3) owner-summed."""
+        """(nelem[+pad], P3*3[+pad]) class-ordered -> (num_nodes, 3)
+        owner-summed. Padded rows/columns (from `gather_rows(e_pad=...)`
+        round-trips through the fused kernel) are sliced off here, where
+        the slices fuse into the class takes."""
         p, nelem = self.p, self.nelem
-        s_e, s_f = p - 1, (p - 1) ** 2
-        o1 = 8 * 3
+        if ve.shape[0] != nelem:
+            ve = ve[:nelem]
         if p == 1:
-            return self._gather_sum(ve.reshape(nelem * 8, 3),
-                                    self.vert_tmap, 3)
-        o2 = o1 + 12 * s_e * 3
-        o3 = o2 + 6 * s_f * 3
-        parts = [self._gather_sum(ve[:, :o1].reshape(nelem * 8, 3),
-                                  self.vert_tmap, 3)]
-        er = ve[:, o1:o2].reshape(nelem, 12, s_e, 3)
-        er = self._apply_perms(er, self.edge_perms, self.e_sig, inverse=True)
-        parts.append(self._gather_sum(
-            er.reshape(nelem * 12, s_e * 3), self.edge_tmap, s_e * 3
-        ).reshape(-1, 3))
-        fr = ve[:, o2:o3].reshape(nelem, 6, s_f, 3)
-        fr = self._apply_perms(fr, self.face_perms, self.f_sig, inverse=True)
-        parts.append(self._gather_sum(
-            fr.reshape(nelem * 6, s_f * 3), self.face_tmap, s_f * 3
-        ).reshape(-1, 3))
-        parts.append(ve[:, o3:].reshape(-1, 3))
+            return self._gather_sum(ve[:, :24].reshape(nelem * 8, 3),
+                                    self.vert_tmap, self.vert_tmask)
+        s_e, s_f = p - 1, (p - 1) ** 2
+        we, wf = s_e * 3, s_f * 3
+        o1 = 24
+        o2 = o1 + 12 * we
+        o3 = o2 + 6 * wf
+        vrow = ve[:, :o1].reshape(nelem * 8, 3)
+        erow = self._perm_select(ve[:, o1:o2].reshape(nelem * 12, we),
+                                 self.e_pmats, self.e_sig, self.edge_perms,
+                                 inverse=True)
+        frow = self._perm_select(ve[:, o2:o3].reshape(nelem * 6, wf),
+                                 self.f_pmats, self.f_sig, self.face_perms,
+                                 inverse=True)
+        parts = [
+            self._gather_sum(vrow, self.vert_tmap, self.vert_tmask),
+            self._gather_sum(erow, self.edge_tmap,
+                             self.edge_tmask).reshape(-1, 3),
+            self._gather_sum(frow, self.face_tmap,
+                             self.face_tmask).reshape(-1, 3),
+            ve[:, o3:self.P3 * 3].reshape(-1, 3),
+        ]
         return jnp.concatenate(parts, axis=0)
+
+    def multiplicity(self) -> jnp.ndarray:
+        """(num_nodes,) per-node element count."""
+        ones = jnp.ones((self.nelem, self.P3 * 3), dtype=jnp.float32)
+        return self.scatter_rows(ones)[:, 0]
 
     # -- pytree protocol (index tables travel as jit args) ----------------
     def tree_flatten(self):
-        children = (self.ids, self.e_sig, self.f_sig, self.vert_tmap,
-                    self.edge_tmap, self.face_tmap)
+        children = (self.vert_ids, self.edge_ids, self.face_ids,
+                    self.e_sig, self.f_sig, self.e_pmats, self.f_pmats,
+                    self.vert_tmap, self.vert_tmask,
+                    self.edge_tmap, self.edge_tmask,
+                    self.face_tmap, self.face_tmask)
         aux = (self.p, self.nelem, self.num_nodes, self.nverts,
                self.off_e, self.off_f, self.off_c, self.nedges, self.nfaces,
                self.edge_perms, self.face_perms)
@@ -347,8 +413,11 @@ class StructuredRestriction:
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         obj._init_static(*aux)
-        (obj.ids, obj.e_sig, obj.f_sig, obj.vert_tmap,
-         obj.edge_tmap, obj.face_tmap) = children
+        (obj.vert_ids, obj.edge_ids, obj.face_ids,
+         obj.e_sig, obj.f_sig, obj.e_pmats, obj.f_pmats,
+         obj.vert_tmap, obj.vert_tmask,
+         obj.edge_tmap, obj.edge_tmask,
+         obj.face_tmap, obj.face_tmask) = children
         return obj
 
 

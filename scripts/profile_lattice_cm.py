@@ -71,8 +71,11 @@ def main():
             prob.dtype, stash_in=False, stash_out=True,
             block_elems=fac.block_elems)
         qds = prob._big["qdata_s"]
-        Kg, KgT = prob._big["sgrads"][-1]
-        t_f = timed(lambda e: fused(e, qds, Kg, KgT)[0], uep0)
+        sk = prob._big["sgrads"][-1]
+        rows0 = jax.block_until_ready(
+            pallas_apply.pad_rows(sr.gather_rows(u0.T), fused.e_pad,
+                                  fused.P3r))
+        t_f = timed(lambda e: fused(e, qds, sk)[0], rows0)
         print(f"fused    : {t_f*1e3:8.3f} ms")
 
     gb = 3 * nelem * P3 * 4 / 1e9

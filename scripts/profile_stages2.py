@@ -99,18 +99,14 @@ def main():
             prob.model.residual_planes, prob.phys,
             P3, prob.factory.Q3,
             nelem, prob.dtype, stash_in=False, stash_out=True)
-        Kg, KgT = sk
         qds = big["qdata_s"]
         ue0 = jax.block_until_ready(
-            pallas_apply.pack_rows(rows0, e_pad, fused.P3p))
+            pallas_apply.pad_rows(rows0, fused.e_pad, fused.P3r))
         t_pack = timed(
-            lambda r: pallas_apply.pack_rows(r, e_pad, fused.P3p), rows0)
-        t_fused = timed(lambda ue: fused(ue, qds, Kg, KgT)[0], ue0)
-        t_unpack = timed(
-            lambda o: pallas_apply.unpack_rows(o, nelem, P3), ue0)
-        print(f"pack     : {t_pack*1e3:8.3f} ms")
-        print(f"fused(GEMM+phys+GEMM^T): {t_fused*1e3:8.3f} ms")
-        print(f"unpack   : {t_unpack*1e3:8.3f} ms")
+            lambda r: pallas_apply.pad_rows(r, fused.e_pad, fused.P3r), rows0)
+        t_fused = timed(lambda ue: fused(ue, qds, sk)[0], ue0)
+        print(f"pad      : {t_pack*1e3:8.3f} ms")
+        print(f"fused(S+GEMM+phys+GEMM^T+S^T): {t_fused*1e3:8.3f} ms")
     else:
         Q3 = prob.factory.Q3
         Kg, KgT = sk
