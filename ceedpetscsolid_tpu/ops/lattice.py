@@ -132,6 +132,32 @@ class LatticeRestriction:
         v3 = ve.reshape(self.nelem, self.P3, 3).transpose(2, 0, 1)
         return self.scatter_add(v3).T
 
+    # -- class-split shims for the stacked-operand Pallas kernel --------
+    # (lattice ClassSpec: one unpermuted "interior" block of all nodes)
+    def sig_columns(self, e_pad: int):
+        return None, None
+
+    def gather_cls(self, u_rows: jnp.ndarray, e_pad: int) -> dict:
+        return {"ir": self.gather_rows(u_rows, e_pad, self.P3 * 3)}
+
+    def scatter_cls(self, out: dict) -> jnp.ndarray:
+        return self.scatter_rows(out["ir"])
+
+    def gather_cls_cm(self, u: jnp.ndarray, e_pad: int) -> dict:
+        """u (3, num_nodes) -> COMPONENT-BLOCKED rows [u0(P3)|u1|u2]
+        (the stacked-kernel layout contract, see structured.py)."""
+        ue = self.gather(u)                           # (3, e, P3)
+        out = ue.transpose(1, 0, 2).reshape(self.nelem, 3 * self.P3)
+        pe = max(0, e_pad - self.nelem)
+        if pe:
+            out = jnp.pad(out, ((0, pe), (0, 0)))
+        return {"ir": out}
+
+    def scatter_cls_cm(self, out: dict) -> jnp.ndarray:
+        ve = out["ir"][:self.nelem]
+        v3 = ve.reshape(self.nelem, 3, self.P3).transpose(1, 0, 2)
+        return self.scatter_add(v3)
+
     # -- pytree protocol: fully static, no array children ------------------
     def tree_flatten(self):
         return (), (self.dims, self.p)

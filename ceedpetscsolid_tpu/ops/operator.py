@@ -152,6 +152,7 @@ class OperatorFactory:
         self.nelem = nelem
         self.e_pad = -(-max(nelem, block_elems) // block_elems) * block_elems
         self.levels = []
+        self._cls_specs = []
         for s in spaces:
             basis = Basis3D.create(s.degree + 1, self.Q1d, "gauss", self.dtype)
             lattice = s.lattice_dims is not None
@@ -168,17 +169,27 @@ class OperatorFactory:
                                     node_ranges=s.entity_node_ranges())
                 srestr = StructuredRestriction(smaps)
             spectral = None
+            spec = None
             if lattice and self.use_spectral:
                 spectral = SpectralLattice(s.lattice_dims, s.degree, basis,
                                            self.dtype)
                 sgrad = spectral.matrices()
             elif use_pallas:
-                sgrad = pallas_apply.padded_grad_matrices(basis, col, self.dtype)
+                if lattice:
+                    spec = pallas_apply.ClassSpec(s.degree, lattice=True)
+                else:
+                    spec = pallas_apply.ClassSpec(
+                        s.degree, smaps.edge_perms if s.degree > 1 else (),
+                        smaps.face_perms if s.degree > 1 else ())
+                es, fs = srestr.sig_columns(self.e_pad)
+                sgrad = pallas_apply.stacked_matrices(
+                    basis, col, spec, self.dtype) + (es, fs)
             elif lattice:
                 # component-batched GEMM on the (3, e, P3) lattice E-vector
                 sgrad = grad_gemm_matrices_cm(basis, col, self.dtype)
             else:
                 sgrad = grad_gemm_matrices(basis, col, self.dtype)
+            self._cls_specs.append(spec if use_pallas else None)
             lvl = LevelOps(
                 space=s, restr=restr, basis=basis, srestr=srestr,
                 sgrad=sgrad, lattice=lattice, spectral=spectral,
@@ -360,23 +371,22 @@ class OperatorFactory:
             has_stash = _has_stash(residual_planes, phys)
             fused = pallas_apply.make_fused_apply(
                 residual_planes, phys, P3, Q3,
-                self.nelem, self.dtype, stash_in=False, stash_out=has_stash,
+                self.nelem, self.dtype, self._cls_specs[-1],
+                stash_in=False, stash_out=has_stash,
                 block_elems=self.block_elems,
                 interpret=self.pallas_interpret,
             )
 
             def apply_pl(u, qdata_s, sr, sk):
-                # unified rows layout: the kernel de-interleaves components
-                # on the MXU (pallas_apply docstring); gather emits the
-                # kernel-padded rows directly and scatter slices padding
-                # off inside its class takes — no standalone pad/slice
-                # copies of the 67 MB E-rows array. Boxes go through the
-                # LatticeRestriction row shims (non-default path — spectral
-                # wins there).
-                ue = sr.gather_rows(u.T, fused.e_pad, fused.P3r)
-                out = fused(ue, qdata_s, sk)
-                ve, stash = out if has_stash else (out, None)
-                return sr.scatter_rows(ve).T, stash
+                # class-split stacked-operand kernel (pallas_apply
+                # docstring): canonical class rows go straight from the
+                # per-class takes into the kernel, which folds orientation
+                # perms + component de-interleave into its stacked GEMM;
+                # scatter consumes the canonical class outputs directly.
+                cls = sr.gather_cls_cm(u, fused.e_pad)
+                out = fused(cls, qdata_s, sk)
+                res, stash = out if has_stash else (out, None)
+                return sr.scatter_cls_cm(res), stash
 
             return apply_pl
 
@@ -432,15 +442,16 @@ class OperatorFactory:
             stash_in = _needs_stash(jacobian_planes, phys)
             fused = pallas_apply.make_fused_apply(
                 jacobian_planes, phys, P3, Q3,
-                self.nelem, self.dtype, jacobian=True, stash_in=stash_in,
+                self.nelem, self.dtype, self._cls_specs[level],
+                jacobian=True, stash_in=stash_in,
                 block_elems=self.block_elems,
                 interpret=self.pallas_interpret,
             )
 
             def japply_pl(v, qdata_s, stash, sr, sk):
-                ue = sr.gather_rows(v.T, fused.e_pad, fused.P3r)
-                ve = fused(ue, qdata_s, sk, stash if stash_in else None)
-                return sr.scatter_rows(ve).T
+                cls = sr.gather_cls_cm(v, fused.e_pad)
+                res = fused(cls, qdata_s, sk, stash if stash_in else None)
+                return sr.scatter_cls_cm(res)
 
             return japply_pl
 

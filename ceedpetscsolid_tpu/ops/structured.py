@@ -397,6 +397,150 @@ class StructuredRestriction:
         ones = jnp.ones((self.nelem, self.P3 * 3), dtype=jnp.float32)
         return self.scatter_rows(ones)[:, 0]
 
+    # -- class-split interface for the stacked-operand Pallas kernel ----
+    # (pallas_apply.ClassSpec): canonical-order class rows, orientation
+    # handled INSIDE the kernel via its masked stacked GEMM operand.
+    def sig_columns(self, e_pad: int):
+        """Per-COLUMN orientation sigs (es (e_pad, we), fs (e_pad, wf))
+        int32, matching the canonical class-row layouts; numpy setup."""
+        p = self.p
+        if p == 1:
+            return None, None
+        s_e, s_f = p - 1, (p - 1) ** 2
+        es = np.repeat(np.asarray(self.e_sig).reshape(self.nelem, 12),
+                       s_e * 3, axis=1)
+        fs = np.repeat(np.asarray(self.f_sig).reshape(self.nelem, 6),
+                       s_f * 3, axis=1)
+        pe = e_pad - self.nelem
+        es = np.pad(es, ((0, pe), (0, 0)))
+        fs = np.pad(fs, ((0, pe), (0, 0)))
+        return jnp.asarray(es.astype(np.int32)), \
+            jnp.asarray(fs.astype(np.int32))
+
+    def gather_cls(self, u_rows: jnp.ndarray, e_pad: int) -> dict:
+        """(num_nodes, 3) -> canonical class rows, zero-row-padded to
+        e_pad: vr (e_pad, 24), er (e_pad, 12*we), fr (e_pad, 6*wf),
+        ir (e_pad, wi). NO orientation permutation is applied."""
+        p, nelem = self.p, self.nelem
+        pe = e_pad - nelem
+
+        def padr(x):
+            return x if pe == 0 else jnp.pad(x, ((0, pe), (0, 0)))
+
+        vr = jnp.take(u_rows[:self.nverts], self.vert_ids.reshape(-1),
+                      axis=0).reshape(nelem, 24)
+        if p == 1:
+            return {"vr": padr(vr)}
+        s_e, s_f, s_c = p - 1, (p - 1) ** 2, (p - 1) ** 3
+        we, wf = s_e * 3, s_f * 3
+        et = u_rows[self.off_e:self.off_f].reshape(self.nedges, we)
+        ft = u_rows[self.off_f:self.off_c].reshape(self.nfaces, wf)
+        er = jnp.take(et, self.edge_ids.reshape(-1),
+                      axis=0).reshape(nelem, 12 * we)
+        fr = jnp.take(ft, self.face_ids.reshape(-1),
+                      axis=0).reshape(nelem, 6 * wf)
+        ir = u_rows[self.off_c:].reshape(nelem, s_c * 3)
+        return {"vr": padr(vr), "er": padr(er), "fr": padr(fr),
+                "ir": padr(ir)}
+
+    def scatter_cls(self, out: dict) -> jnp.ndarray:
+        """Canonical class rows (kernel outputs) -> (num_nodes, 3)."""
+        p, nelem = self.p, self.nelem
+        vrow = out["vr"][:nelem].reshape(nelem * 8, 3)
+        pv = self._gather_sum(vrow, self.vert_tmap, self.vert_tmask)
+        if p == 1:
+            return pv
+        s_e, s_f = p - 1, (p - 1) ** 2
+        we, wf = s_e * 3, s_f * 3
+        erow = out["er"][:nelem].reshape(nelem * 12, we)
+        frow = out["fr"][:nelem].reshape(nelem * 6, wf)
+        parts = [
+            pv,
+            self._gather_sum(erow, self.edge_tmap,
+                             self.edge_tmask).reshape(-1, 3),
+            self._gather_sum(frow, self.face_tmap,
+                             self.face_tmask).reshape(-1, 3),
+            out["ir"][:nelem].reshape(-1, 3),
+        ]
+        return jnp.concatenate(parts, axis=0)
+
+    # -- component-major endpoints -------------------------------------
+    # On TPU a (num_nodes, 3) array is PHYSICALLY tiled to (8, 128) —
+    # a ~43x memory blow-up — so the (3, N) -> (N, 3) transpose of the
+    # whole L-vector costs ~7 ms/apply on the 8.9M-DoF cylinder and every
+    # slice/reshape of it pays the padding again (round-5 xprof trace:
+    # select_bitcast_fusion 7.1 ms, slices 4.5 ms, reshapes ~5 ms). These
+    # endpoints build each per-class table straight from the dense (3, N)
+    # layout and assemble the result back in (3, N); only the narrow
+    # per-class tables (MBs, not the full vector) ever take narrow-lane
+    # form.
+    def gather_cls_cm(self, u: jnp.ndarray, e_pad: int) -> dict:
+        """u (3, num_nodes) -> COMPONENT-BLOCKED canonical class rows:
+        an entity's row is [u0(its nodes) | u1 | u2].
+
+        The blocked layout is what makes the endpoint cheap on TPU: every
+        class table is a lane-CONCAT of per-component reshape VIEWS of the
+        dense (3, N) planes — no transpose of the L-vector ever happens.
+        (Interleaved rows require a (3, N) <-> node-major relayout that
+        runs at ~10 GB/s on this chip — ~7 ms/apply at 8.9M DoF — and
+        baits XLA into 43x-padded {0,1} layouts for the whole chain; the
+        round-5 traces showed ~18 ms/apply of such select/copy/slice
+        traffic.) The kernel's selection matrices encode the blocked
+        order, so this is purely a setup-time layout contract with
+        pallas_apply.stacked_matrices."""
+        p, nelem = self.p, self.nelem
+        pe = e_pad - nelem
+
+        def padr(x):
+            return x if pe == 0 else jnp.pad(x, ((0, pe), (0, 0)))
+
+        vt = jnp.stack([u[0, :self.nverts], u[1, :self.nverts],
+                        u[2, :self.nverts]], axis=1)     # (nv, 3)
+        vr = jnp.take(vt, self.vert_ids.reshape(-1),
+                      axis=0).reshape(nelem, 24)
+        if p == 1:
+            return {"vr": padr(vr)}
+        s_e, s_f, s_c = p - 1, (p - 1) ** 2, (p - 1) ** 3
+        et = jnp.concatenate(
+            [u[c, self.off_e:self.off_f].reshape(self.nedges, s_e)
+             for c in range(3)], axis=1)                 # (ne, 3*s_e)
+        ft = jnp.concatenate(
+            [u[c, self.off_f:self.off_c].reshape(self.nfaces, s_f)
+             for c in range(3)], axis=1)                 # (nf, 3*s_f)
+        er = jnp.take(et, self.edge_ids.reshape(-1),
+                      axis=0).reshape(nelem, 12 * s_e * 3)
+        fr = jnp.take(ft, self.face_ids.reshape(-1),
+                      axis=0).reshape(nelem, 6 * s_f * 3)
+        ir = jnp.concatenate(
+            [u[c, self.off_c:].reshape(nelem, s_c) for c in range(3)],
+            axis=1)                                      # (e, 3*s_c)
+        return {"vr": padr(vr), "er": padr(er), "fr": padr(fr),
+                "ir": padr(ir)}
+
+    def scatter_cls_cm(self, out: dict) -> jnp.ndarray:
+        """COMPONENT-BLOCKED canonical class rows -> (3, num_nodes),
+        assembled as three dense per-component planes (see gather_cls_cm)."""
+        p, nelem = self.p, self.nelem
+        vrow = out["vr"][:nelem].reshape(nelem * 8, 3)
+        pv = self._gather_sum(vrow, self.vert_tmap, self.vert_tmask)
+        if p == 1:
+            return jnp.stack([pv[:, 0], pv[:, 1], pv[:, 2]])
+        s_e, s_f, s_c = p - 1, (p - 1) ** 2, (p - 1) ** 3
+        erow = out["er"][:nelem].reshape(nelem * 12, 3 * s_e)
+        frow = out["fr"][:nelem].reshape(nelem * 6, 3 * s_f)
+        pe = self._gather_sum(erow, self.edge_tmap, self.edge_tmask)
+        pf = self._gather_sum(frow, self.face_tmap, self.face_tmask)
+        ir = out["ir"][:nelem]
+        planes = []
+        for c in range(3):
+            planes.append(jnp.concatenate([
+                pv[:, c],
+                pe[:, c * s_e:(c + 1) * s_e].reshape(-1),
+                pf[:, c * s_f:(c + 1) * s_f].reshape(-1),
+                ir[:, c * s_c:(c + 1) * s_c].reshape(-1),
+            ]))
+        return jnp.stack(planes)
+
     # -- pytree protocol (index tables travel as jit args) ----------------
     def tree_flatten(self):
         children = (self.vert_ids, self.edge_ids, self.face_ids,

@@ -65,3 +65,54 @@ def test_pallas_matches_xla(problem, degree):
     j_x = jac_x(v, qd, s_x, xfac.fine.srestr, xfac.fine.sgrad)
     np.testing.assert_allclose(np.asarray(j_pl), np.asarray(j_x),
                                rtol=2e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("degree", [2, 3])
+def test_pallas_unstructured_matches_xla(degree):
+    """Stacked-operand kernel vs XLA row path on an UNSTRUCTURED mesh:
+    exercises the orientation-masked operand blocks + perm-folded
+    selection matrices (pallas_apply.ClassSpec / stacked_matrices)."""
+    from ceedpetscsolid_tpu.mesh.exodus import read_exodus
+    from ceedpetscsolid_tpu.mesh.reorder import reorder_mesh
+
+    mesh = reorder_mesh(read_exodus(
+        "/root/reference/meshes/cube8_216e_6ss_s.exo"))
+    fes = build_fespace(mesh, degree)
+    dtype = jnp.float32
+
+    plfac = OperatorFactory([fes], dtype=dtype, use_pallas=True,
+                            pallas_interpret=True, block_elems=16)
+    xfac = OperatorFactory([fes], dtype=dtype, use_pallas=False,
+                           use_spectral=False)
+    spec = plfac._cls_specs[-1]
+    if degree >= 3:      # 1-node entities (p=2) have only identity perms
+        assert len(spec.face_perms) > 1, "mesh must exercise orientations"
+    model = get_model("hyperFS")
+    phys = Physics(nu=0.3, E=1.0)
+
+    qd = xfac.compute_qdata()
+    qd_s = plfac.struct_qdata(qd)
+
+    rng = np.random.default_rng(7)
+    N = fes.num_nodes
+    u = jnp.asarray(rng.standard_normal((3, N)) * 1e-3, dtype)
+    v = jnp.asarray(rng.standard_normal((3, N)) * 1e-3, dtype)
+
+    res_pl = plfac.make_residual_structured(model.residual_planes, phys)
+    res_x = xfac.make_residual_structured(model.residual_planes, phys)
+    r_pl, s_pl = res_pl(u, qd_s, plfac.fine.srestr, plfac.fine.sgrad)
+    r_x, s_x = res_x(u, qd, xfac.fine.srestr, xfac.fine.sgrad)
+    np.testing.assert_allclose(np.asarray(r_pl), np.asarray(r_x),
+                               rtol=2e-5, atol=1e-8)
+
+    sv = plfac.stash_view(s_pl)
+    for a, b in zip(sv.m, s_x.m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+
+    jac_pl = plfac.make_jacobian_structured(model.jacobian_planes, phys)
+    jac_x = xfac.make_jacobian_structured(model.jacobian_planes, phys)
+    j_pl = jac_pl(v, qd_s, s_pl, plfac.fine.srestr, plfac.fine.sgrad)
+    j_x = jac_x(v, qd, s_x, xfac.fine.srestr, xfac.fine.sgrad)
+    np.testing.assert_allclose(np.asarray(j_pl), np.asarray(j_x),
+                               rtol=2e-5, atol=1e-8)
