@@ -63,6 +63,8 @@ def _floats(s):
 
 
 def _bool(s):
+    if isinstance(s, bool):          # bare flag (-snes_ksp_ew) -> True
+        return s
     return s.lower() in ("true", "1", "yes", "on")
 
 
@@ -185,7 +187,10 @@ def main(argv=None):
     def monitor(inc, load, res):
         if viewopts["snes_monitor"]:
             print(f"{inc - 1} Load Increment")  # elasticity.c:639-642
-            print(f"  SNES iters {res.iters} rnorm {res.rnorm:.6e}")
+            u_bc = prob.insert_bc(res.u, prob.bc_values(load))
+            energy = prob.strain_energy(u_bc)
+            print(f"  SNES iters {res.iters} rnorm {res.rnorm:.6e} "
+                  f"energy {energy:.9e}")
         if viewopts["view_soln"]:
             # per-increment solution output (misc.c:188-212)
             from .post.vtu import write_vtu

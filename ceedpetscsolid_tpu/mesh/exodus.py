@@ -27,7 +27,15 @@ from .core import EXODUS_HEX8_TO_TENSOR, EXODUS_SIDE_TO_FACE, HexMesh
 
 
 def read_exodus(path: str) -> HexMesh:
-    nc = netcdf_file(path, "r", mmap=False)
+    try:
+        nc = netcdf_file(path, "r", mmap=False)
+    except Exception as e:
+        raise ValueError(
+            f"cannot read {path} as netCDF-3 classic Exodus ({e}). "
+            "HDF5-based Exodus files are not supported — convert with "
+            "`ncks -3 in.exo out.exo` (NCO) or "
+            "`nccopy -k classic in.exo out.exo`."
+        ) from e
     try:
         dims = nc.dimensions
         nblk = int(dims.get("num_el_blk", 1))

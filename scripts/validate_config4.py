@@ -72,6 +72,11 @@ def run(name):
         name = f"{name}-i{ninc}"
     if os.environ.get("CPSTPU_LS"):
         cfg.newton.linesearch = os.environ["CPSTPU_LS"]
+    if os.environ.get("CPSTPU_EW"):
+        # Eisenstat-Walker adaptive forcing (-snes_ksp_ew): VERDICT r5
+        # item 4 — don't over-solve noisy f32 linearizations
+        cfg.newton.ew = True
+        name = f"{name}-ew"
     if os.environ.get("CPSTPU_NEWTON_MONITOR"):
         cfg.newton.monitor = lambda it, rn: print(
             f"    newton {it:3d}: rnorm {rn:.4e}", flush=True)
