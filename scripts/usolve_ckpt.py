@@ -41,6 +41,13 @@ def main():
                  bc_clamp_translate={998: (0.0, 0.0, 0.02)},
                  use_pallas=None if up is None else bool(int(up)))
     cfg.newton.rtol = 1e-6
+    # round-5 solve-cost findings (results/SOLVE_PROFILE.json
+    # usolve_refresh_r5): the AMG value refresh is 14.8 s of each 47 s
+    # Newton iteration (31%) at this scale — lag it to every 2nd
+    # Jacobian; Eisenstat-Walker forcing stops over-solving noisy f32
+    # linearizations (4.3x KSP reduction on config 4)
+    cfg.pc_lag = int(os.environ.get("CPSTPU_USOLVE_PC_LAG", "2"))
+    cfg.newton.ew = os.environ.get("CPSTPU_USOLVE_EW", "1") == "1"
     prob = ElasticityProblem(cfg)
 
     state = {"u": None, "load": 0.0, "snes": 0, "ksp": 0, "time": 0.0,
