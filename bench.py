@@ -502,8 +502,7 @@ def orchestrate():
 
         if not os.environ.get("CPSTPU_BENCH_FAST"):
             for name, est, cap in (("solve", 90, 420.0),
-                                   ("unstructured", 120, 420.0),
-                                   ("dist", 60, 300.0)):
+                                   ("unstructured", 120, 420.0)):
                 if remaining() < est:
                     extra[f"{name}_skipped"] = \
                         f"{remaining():.0f}s budget left < {est}s estimate"
@@ -514,13 +513,28 @@ def orchestrate():
                 else:
                     extra[f"{name}_error"] = note
 
-            # unstructured solve: opt-IN by remaining budget (VERDICT r4
-            # "Next round" #1) — runs with whatever budget is left
-            if remaining() > 240:
+            # unstructured solve (BASELINE config 5 — the reference's
+            # actual headline): runs BEFORE the dist stage so a tight
+            # caller window drops the least-informative stage first.
+            # ~350 s warm with the r5 runner (EW + lagged refresh);
+            # reserve 300 s so dist still gets a slot afterwards.
+            if remaining() > 540:
+                _usolve_stage(t0 + budget - reserve - 300, extra)
+            elif remaining() > 240:
                 _usolve_stage(t0 + budget - reserve, extra)
             else:
                 extra["usolve_skipped"] = \
                     f"{remaining():.0f}s budget left < 240s floor"
+
+            if remaining() < 60:
+                extra["dist_skipped"] = \
+                    f"{remaining():.0f}s budget left < 60s estimate"
+            else:
+                out, note = _spawn_stage("dist", min(300.0, remaining()))
+                if out is not None:
+                    extra.update(out)
+                else:
+                    extra["dist_error"] = note
 
         extra["bench_wall_s"] = round(time.monotonic() - t0, 1)
         extra["bench_budget_s"] = budget
