@@ -417,53 +417,6 @@ class StructuredRestriction:
         return jnp.asarray(es.astype(np.int32)), \
             jnp.asarray(fs.astype(np.int32))
 
-    def gather_cls(self, u_rows: jnp.ndarray, e_pad: int) -> dict:
-        """(num_nodes, 3) -> canonical class rows, zero-row-padded to
-        e_pad: vr (e_pad, 24), er (e_pad, 12*we), fr (e_pad, 6*wf),
-        ir (e_pad, wi). NO orientation permutation is applied."""
-        p, nelem = self.p, self.nelem
-        pe = e_pad - nelem
-
-        def padr(x):
-            return x if pe == 0 else jnp.pad(x, ((0, pe), (0, 0)))
-
-        vr = jnp.take(u_rows[:self.nverts], self.vert_ids.reshape(-1),
-                      axis=0).reshape(nelem, 24)
-        if p == 1:
-            return {"vr": padr(vr)}
-        s_e, s_f, s_c = p - 1, (p - 1) ** 2, (p - 1) ** 3
-        we, wf = s_e * 3, s_f * 3
-        et = u_rows[self.off_e:self.off_f].reshape(self.nedges, we)
-        ft = u_rows[self.off_f:self.off_c].reshape(self.nfaces, wf)
-        er = jnp.take(et, self.edge_ids.reshape(-1),
-                      axis=0).reshape(nelem, 12 * we)
-        fr = jnp.take(ft, self.face_ids.reshape(-1),
-                      axis=0).reshape(nelem, 6 * wf)
-        ir = u_rows[self.off_c:].reshape(nelem, s_c * 3)
-        return {"vr": padr(vr), "er": padr(er), "fr": padr(fr),
-                "ir": padr(ir)}
-
-    def scatter_cls(self, out: dict) -> jnp.ndarray:
-        """Canonical class rows (kernel outputs) -> (num_nodes, 3)."""
-        p, nelem = self.p, self.nelem
-        vrow = out["vr"][:nelem].reshape(nelem * 8, 3)
-        pv = self._gather_sum(vrow, self.vert_tmap, self.vert_tmask)
-        if p == 1:
-            return pv
-        s_e, s_f = p - 1, (p - 1) ** 2
-        we, wf = s_e * 3, s_f * 3
-        erow = out["er"][:nelem].reshape(nelem * 12, we)
-        frow = out["fr"][:nelem].reshape(nelem * 6, wf)
-        parts = [
-            pv,
-            self._gather_sum(erow, self.edge_tmap,
-                             self.edge_tmask).reshape(-1, 3),
-            self._gather_sum(frow, self.face_tmap,
-                             self.face_tmask).reshape(-1, 3),
-            out["ir"][:nelem].reshape(-1, 3),
-        ]
-        return jnp.concatenate(parts, axis=0)
-
     # -- component-major endpoints -------------------------------------
     # On TPU a (num_nodes, 3) array is PHYSICALLY tiled to (8, 128) —
     # a ~43x memory blow-up — so the (3, N) -> (N, 3) transpose of the
