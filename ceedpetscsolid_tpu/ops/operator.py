@@ -150,7 +150,11 @@ class OperatorFactory:
         self.Q3 = self.Q1d ** 3
         nelem = fine.conn.shape[0]
         self.nelem = nelem
-        self.e_pad = -(-max(nelem, block_elems) // block_elems) * block_elems
+        # one guaranteed PAD element block: the fused kernel's outputs at
+        # pad rows are exact zeros (zero inputs, zero-weight qdata), so the
+        # class scatter can point its sentinel slots there and skip the
+        # mask multiplies entirely (structured.scatter_cls_cm)
+        self.e_pad = -(-(nelem + 1) // block_elems) * block_elems
         self.levels = []
         self._cls_specs = []
         for s in spaces:

@@ -287,7 +287,9 @@ def make_fused_apply(planes_fn, phys, P3: int, Q3: int, nelem: int,
     Q3p = _round_up(Q3, 128)
     P3p = _round_up(P3, 128)
     BE = block_elems
-    e_pad = _round_up(max(nelem, BE), BE)
+    # always >= one pad element: pad rows emit exact zeros, which the
+    # class scatter uses as its sentinel target (see OperatorFactory)
+    e_pad = _round_up(nelem + 1, BE)
     grid = (e_pad // BE,)
     wv, we, wf, wi = spec.widths
 

@@ -255,14 +255,18 @@ class StructuredRestriction:
             return jnp.asarray(ids), jnp.asarray(m.astype(np.float32))
 
         self.vert_ids = jnp.asarray(maps.vert_ids)
+        # raw tmaps keep the sentinel (= first PAD-element slot): the
+        # class-split kernel guarantees exact-zero rows there, so the
+        # _cm scatter needs no mask multiplies
+        self.vert_tmap_raw = jnp.asarray(np.asarray(maps.vert_tmap))
         self.vert_tmap, self.vert_tmask = masked(
             np.asarray(maps.vert_tmap), maps.nelem * 8)
         if p == 1:
             self.edge_ids = self.face_ids = None
             self.e_sig = self.f_sig = None
             self.e_pmats = self.f_pmats = None
-            self.edge_tmap = self.edge_tmask = None
-            self.face_tmap = self.face_tmask = None
+            self.edge_tmap = self.edge_tmask = self.edge_tmap_raw = None
+            self.face_tmap = self.face_tmask = self.face_tmap_raw = None
             return
         self.edge_ids = jnp.asarray(maps.edge_ids)
         self.face_ids = jnp.asarray(maps.face_ids)
@@ -271,6 +275,8 @@ class StructuredRestriction:
         self.e_pmats = jnp.asarray(_perm_matrices(maps.edge_perms, (p - 1) * 3))
         self.f_pmats = jnp.asarray(
             _perm_matrices(maps.face_perms, (p - 1) ** 2 * 3))
+        self.edge_tmap_raw = jnp.asarray(np.asarray(maps.edge_tmap))
+        self.face_tmap_raw = jnp.asarray(np.asarray(maps.face_tmap))
         self.edge_tmap, self.edge_tmask = masked(
             np.asarray(maps.edge_tmap), maps.nelem * 12)
         self.face_tmap, self.face_tmask = masked(
@@ -472,17 +478,27 @@ class StructuredRestriction:
 
     def scatter_cls_cm(self, out: dict) -> jnp.ndarray:
         """COMPONENT-BLOCKED canonical class rows -> (3, num_nodes),
-        assembled as three dense per-component planes (see gather_cls_cm)."""
+        assembled as three dense per-component planes (see gather_cls_cm).
+
+        The kernel rows INCLUDE the pad-element block whose outputs are
+        exact zeros (zero inputs, zero-weight qdata), so the raw transpose
+        maps' sentinel slots (first pad slot) need no mask multiplies."""
         p, nelem = self.p, self.nelem
-        vrow = out["vr"][:nelem].reshape(nelem * 8, 3)
-        pv = self._gather_sum(vrow, self.vert_tmap, self.vert_tmask)
+
+        def gsum_raw(rows, tmap):
+            nent, K = tmap.shape
+            g = jnp.take(rows, tmap.reshape(-1), axis=0)
+            return g.reshape(nent, K, rows.shape[1]).sum(axis=1)
+
+        vrow = out["vr"].reshape(-1, 3)                 # (e_pad*8, 3)
+        pv = gsum_raw(vrow, self.vert_tmap_raw)
         if p == 1:
             return jnp.stack([pv[:, 0], pv[:, 1], pv[:, 2]])
         s_e, s_f, s_c = p - 1, (p - 1) ** 2, (p - 1) ** 3
-        erow = out["er"][:nelem].reshape(nelem * 12, 3 * s_e)
-        frow = out["fr"][:nelem].reshape(nelem * 6, 3 * s_f)
-        pe = self._gather_sum(erow, self.edge_tmap, self.edge_tmask)
-        pf = self._gather_sum(frow, self.face_tmap, self.face_tmask)
+        erow = out["er"].reshape(-1, 3 * s_e)           # (e_pad*12, .)
+        frow = out["fr"].reshape(-1, 3 * s_f)           # (e_pad*6, .)
+        pe = gsum_raw(erow, self.edge_tmap_raw)
+        pf = gsum_raw(frow, self.face_tmap_raw)
         ir = out["ir"][:nelem]
         planes = []
         for c in range(3):
@@ -500,7 +516,9 @@ class StructuredRestriction:
                     self.e_sig, self.f_sig, self.e_pmats, self.f_pmats,
                     self.vert_tmap, self.vert_tmask,
                     self.edge_tmap, self.edge_tmask,
-                    self.face_tmap, self.face_tmask)
+                    self.face_tmap, self.face_tmask,
+                    self.vert_tmap_raw, self.edge_tmap_raw,
+                    self.face_tmap_raw)
         aux = (self.p, self.nelem, self.num_nodes, self.nverts,
                self.off_e, self.off_f, self.off_c, self.nedges, self.nfaces,
                self.edge_perms, self.face_perms)
@@ -514,7 +532,9 @@ class StructuredRestriction:
          obj.e_sig, obj.f_sig, obj.e_pmats, obj.f_pmats,
          obj.vert_tmap, obj.vert_tmask,
          obj.edge_tmap, obj.edge_tmask,
-         obj.face_tmap, obj.face_tmask) = children
+         obj.face_tmap, obj.face_tmask,
+         obj.vert_tmap_raw, obj.edge_tmap_raw,
+         obj.face_tmap_raw) = children
         return obj
 
 
